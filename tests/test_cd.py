@@ -1,0 +1,99 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qcqp_tpu as qt
+from qcqp_tpu import core
+from qcqp_tpu.expressions import canonicalize
+from qcqp_tpu.solvers.coord_descent import (
+    improve_coord_descent, improve_coord_descent_batch,
+)
+
+
+def boolean_ls_form(n=10, m=15, seed=1):
+    """Boolean least squares (reference: examples/boolean_least_squares.py)."""
+    rng = np.random.RandomState(seed)
+    A = rng.randn(m, n)
+    b = rng.randn(m)
+    x = qt.Variable(n)
+    prob = qt.Problem(qt.Minimize(qt.sum_squares(A @ x - b)),
+                      [qt.square(x) == 1])
+    form, layout, maximize = canonicalize(prob)
+    return form, A, b
+
+
+def test_boolean_ls_cd_reaches_feasible():
+    form, A, b = boolean_ls_form()
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal(form.n))
+    x = improve_coord_descent(form, x0)
+    x = np.asarray(x)
+    v = float(core.max_violation(form, jnp.asarray(x)))
+    assert v < 1e-2, v
+    # feasible means x ~ +-1 componentwise
+    np.testing.assert_allclose(np.abs(x), 1.0, atol=2e-2)
+    # objective should beat the naive rounding of the start point at least
+    # under the lexicographic 'better' order
+    assert np.array_equal(
+        np.asarray(core.better(form, jnp.asarray(x), x0)), x)
+
+
+def test_boolean_ls_cd_near_bruteforce():
+    # tiny instance where brute force over all sign vectors is the oracle
+    form, A, b = boolean_ls_form(n=8, m=12, seed=3)
+    best = np.inf
+    for bits in range(1 << 8):
+        s = np.array([1.0 if bits >> i & 1 else -1.0 for i in range(8)])
+        best = min(best, float(np.sum((A @ s - b) ** 2)))
+    # multi-start CD should get within 20% of the global optimum
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.standard_normal((16, form.n)))
+    out = np.asarray(improve_coord_descent_batch(form, xs))
+    objs, viols = [], []
+    for x in out:
+        viols.append(float(core.max_violation(form, jnp.asarray(x))))
+        objs.append(float(core.eval_objective(form, jnp.asarray(x))))
+    objs = np.asarray(objs)[np.asarray(viols) < 1e-2]
+    assert objs.size > 0
+    assert objs.min() <= best * 1.2 + 1e-9
+
+
+def test_phase2_monotone_objective():
+    # from a feasible point, phase 2 should not worsen the objective
+    form, A, b = boolean_ls_form(n=6, m=9, seed=5)
+    s = np.sign(np.random.RandomState(2).randn(6))
+    x0 = jnp.asarray(s)
+    x = improve_coord_descent(form, x0, phase1=False)
+    f0 = float(core.eval_objective(form, x0))
+    f1 = float(core.eval_objective(form, jnp.asarray(x)))
+    v1 = float(core.max_violation(form, jnp.asarray(x)))
+    assert v1 < 1e-2
+    assert f1 <= f0 + 1e-9
+
+
+def test_cd_respects_inequality_constraints():
+    # minimize ||x - c||^2 st ||x||^2 <= 1 (convex; CD should find projection-ish)
+    n = 5
+    c = np.array([2.0, 0.0, 0.0, 0.0, 0.0])
+    x = qt.Variable(n)
+    prob = qt.Problem(qt.Minimize(qt.sum_squares(x - c)),
+                      [qt.sum_squares(x) <= 1])
+    form, layout, maximize = canonicalize(prob)
+    x0 = jnp.zeros(n, jnp.float64)
+    out = np.asarray(improve_coord_descent(form, x0))
+    v = float(core.max_violation(form, jnp.asarray(out)))
+    assert v < 1e-2
+    # optimum is x = c/||c|| = (1,0,0,0,0), f = 1
+    f = float(core.eval_objective(form, jnp.asarray(out)))
+    assert f <= 1.2
+
+
+def test_batch_matches_loop():
+    form, _, _ = boolean_ls_form(n=6, m=8, seed=7)
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.standard_normal((4, form.n)))
+    batched = np.asarray(improve_coord_descent_batch(form, xs))
+    for i in range(4):
+        single = np.asarray(improve_coord_descent(form, xs[i]))
+        np.testing.assert_allclose(batched[i], single, atol=1e-10)
