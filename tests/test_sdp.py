@@ -1,0 +1,94 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import qcqp_tpu as qt
+from qcqp_tpu import core
+from qcqp_tpu.expressions import canonicalize
+from qcqp_tpu.solvers import sdp
+
+
+def test_analytic_tiny_sdp():
+    # min x11 + x22 s.t. x12 == 1 (via lifted encoding), X psd
+    # -> X = [[1,1],[1,1]] scaled: min trace with off-diag fixed 1:
+    # optimum trace = 2 (x11 = x22 = 1).
+    W0 = jnp.eye(2, dtype=jnp.float64)
+    Woff = jnp.asarray([[0.0, 0.5], [0.5, 0.0]], jnp.float64)
+    data = sdp.build_sdp(
+        W0, Woff[None], jnp.asarray([1.0], jnp.float64),
+        jnp.asarray([False]))
+    sol = sdp.solve_sdp(data, max_iters=5000, tol=1e-10)
+    np.testing.assert_allclose(float(sol.objective), 2.0, atol=1e-6)
+    lam = np.linalg.eigvalsh(np.asarray(sol.X))
+    assert lam.min() > -1e-8
+
+
+def test_sdr_boolean_ls_bound_is_lower_bound():
+    from .test_cd import boolean_ls_form
+    form, A, b = boolean_ls_form(n=8, m=12, seed=3)
+    X, bound = sdp.solve_sdr(form, max_iters=20000, tol=1e-9)
+    # true optimum by brute force
+    best = np.inf
+    for bits in range(1 << 8):
+        s = np.array([1.0 if bits >> i & 1 else -1.0 for i in range(8)])
+        best = min(best, float(np.sum((A @ s - b) ** 2)))
+    assert float(bound) <= best + 1e-4
+    # bound must be reasonably tight for boolean LS (SDR is strong here)
+    assert float(bound) >= 0.2 * best - 1.0
+    # lifted solution structure
+    X = np.asarray(X)
+    np.testing.assert_allclose(X[-1, -1], 1.0, atol=1e-6)
+    assert np.linalg.eigvalsh(X).min() > -1e-7
+    # diag of X[:n,:n] == 1 (from x_i^2 == 1 constraints)
+    np.testing.assert_allclose(np.diag(X)[:-1], 1.0, atol=1e-5)
+
+
+def test_sdr_convex_qp_matches_exact():
+    # For a convex QP with convex constraint the SDR is tight:
+    # min ||x - c||^2 s.t. ||x||^2 <= 1 -> optimum (||c||-1)^2
+    n = 4
+    c = np.zeros(n); c[0] = 2.0
+    x = qt.Variable(n)
+    prob = qt.Problem(qt.Minimize(qt.sum_squares(x - c)),
+                      [qt.sum_squares(x) <= 1])
+    form, _, _ = canonicalize(prob)
+    X, bound = sdp.solve_sdr(form, max_iters=20000, tol=1e-9)
+    np.testing.assert_allclose(float(bound), 1.0, atol=1e-5)
+    mu = np.asarray(X)[:-1, -1]
+    np.testing.assert_allclose(mu, [1, 0, 0, 0], atol=1e-4)
+
+
+def test_spectral_boolean_ls():
+    from .test_cd import boolean_ls_form
+    form, A, b = boolean_ls_form(n=6, m=9, seed=5)
+    xs, bound = sdp.solve_spectral(form, max_iters=20000, tol=1e-9)
+    _, sdr_bound = sdp.solve_sdr(form, max_iters=20000, tol=1e-9)
+    # spectral relaxation is weaker (aggregated): bound <= sdr bound
+    assert float(bound) <= float(sdr_bound) + 1e-4
+    assert np.asarray(xs).shape == (6,)
+
+
+def test_sdp_against_slsqp_oracle():
+    from . import oracle
+    rng = np.random.default_rng(0)
+    N = 4
+    C = rng.standard_normal((N, N)); C = 0.5 * (C + C.T)
+    A1 = np.eye(N)
+    A2 = np.zeros((N, N)); A2[0, 1] = A2[1, 0] = 0.5
+    As = [A1, A2]
+    bs = [1.0, 0.1]
+    eqs = [True, False]
+    data = sdp.build_sdp(
+        jnp.asarray(C, jnp.float64),
+        jnp.asarray(np.stack(As), jnp.float64),
+        jnp.asarray(bs, jnp.float64),
+        jnp.asarray([not e for e in eqs]))
+    sol = sdp.solve_sdp(data, max_iters=30000, tol=1e-10)
+    Xo, fo, ok = oracle.solve_sdp_oracle(C, As, bs, eqs)
+    if ok:
+        assert float(sol.objective) <= fo + 1e-4
+        # our X must satisfy the constraints
+        X = np.asarray(sol.X)
+        np.testing.assert_allclose(np.sum(A1 * X), 1.0, atol=1e-6)
+        assert np.sum(A2 * X) <= 0.1 + 1e-6
+        assert np.linalg.eigvalsh(X).min() > -1e-7
