@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""MAXCUT:  maximize 0.25 (sum(W) - x^T W x)  s.t.  x_i^2 == 1.
+
+Mirrors the reference example (reference: examples/maxcut.py).
+"""
+import numpy as np
+import qcqp_tpu as qt
+
+n = 25
+np.random.seed(1)
+
+# Erdos-Renyi-ish adjacency matrix
+p = 0.2
+W = np.random.uniform(low=0.0, high=1.0, size=(n, n))
+for i in range(n):
+    W[i, i] = 1
+    for j in range(i + 1, n):
+        W[j, i] = W[i, j]
+W = (W < p).astype(float)
+
+x = qt.Variable(n)
+obj = 0.25 * (qt.sum_entries(W) - qt.quad_form(x, W))
+cons = [qt.square(x) == 1]
+prob = qt.Problem(qt.Maximize(obj), cons)
+qcqp = qt.QCQP(prob)
+
+qcqp.suggest(qt.SDR)
+print("SDR-based upper bound: %.3f" % qcqp.sdr_bound)
+
+f_cd, v_cd = qcqp.improve(qt.COORD_DESCENT)
+print("Coordinate descent: objective %.3f, violation %.3f" % (f_cd, v_cd))
+
+qcqp.suggest(qt.SDR)
+f_dccp, v_dccp = qcqp.improve(qt.DCCP, tau=1)
+print("Penalty CCP: objective %.3f, violation %.3f" % (f_dccp, v_dccp))
+
+qcqp.suggest(qt.SDR)
+f_admm, v_admm = qcqp.improve(qt.ADMM)
+print("Nonconvex ADMM: objective %.3f, violation %.3f" % (f_admm, v_admm))

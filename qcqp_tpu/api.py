@@ -34,8 +34,12 @@ logger = logging.getLogger("qcqp_tpu")
 
 
 class QCQP:
-    def __init__(self, prob: Problem, seed: int = 0, dtype=np.float64,
+    def __init__(self, prob: Problem, seed: int = 0, dtype=None,
                  check_dcp: bool = True):
+        if dtype is None:
+            # float64 parity on CPU; float32 on TPU (no native f64 there)
+            dtype = (np.float64 if jax.default_backend() == "cpu"
+                     else np.float32)
         self.prob = prob
         self.qcqp_form, self.layout, self.maximize_flag = canonicalize(prob, dtype)
         self.n = self.layout.n

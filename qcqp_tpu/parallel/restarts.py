@@ -1,0 +1,183 @@
+"""Restart parallelism: vmapped suggest->improve chains over a device mesh.
+
+The reference runs suggest/improve chains strictly one at a time
+(reference: examples/boolean_least_squares.py:19-38); the math is
+embarrassingly parallel over restarts (SURVEY.md section 2c).  Here the whole
+chain is one jitted program over a batch axis: thousands of restarts per chip
+via vmap, sharded across chips/hosts with `jax.sharding.NamedSharding` so XLA
+inserts the ICI collectives for the final best-point reduction.
+
+The reduction implements the reference's lexicographic `better` order
+(violation bucket, then objective — qcqp/utilities.py:135-146) as two
+collective-friendly stages: global min of the bucket, then argmin of the
+objective masked to argmin-bucket restarts.  This is order-insensitive and
+deterministic across shardings (ties broken by lowest restart index).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import settings as s
+from ..core import QCQPForm, eval_objective, max_violation
+from ..solvers.coord_descent import improve_coord_descent
+from ..solvers.admm import improve_admm, auto_rho
+from ..kernels.projection import precompute_eigh
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "r") -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.array(devs), (axis,))
+
+
+def best_point(form: QCQPForm, xs: jax.Array, tol: float = 1e-4):
+    """Lexicographic (viol bucket, objective) argmin over the restart axis.
+
+    Returns (x_best, f_best, viol_best).  Compiles to cross-device
+    reductions when xs is sharded over restarts.
+    """
+    buckets = jax.vmap(lambda x: jnp.floor(max_violation(form, x) / tol))(xs)
+    fs = jax.vmap(lambda x: eval_objective(form, x))(xs)
+    bmin = jnp.min(buckets)
+    fs_masked = jnp.where(buckets == bmin, fs, jnp.inf)
+    i = jnp.argmin(fs_masked)
+    viols = jax.vmap(lambda x: max_violation(form, x))(xs)
+    return xs[i], fs[i], viols[i]
+
+
+def suggest_batch(form: QCQPForm, num: int, key: jax.Array,
+                  method: str = s.RANDOM, sdr_sampler=None,
+                  spectral_sol=None) -> jax.Array:
+    """Batched suggest: (num, n) starting points.
+
+    RANDOM: iid standard normal (reference: qcqp/qcqp.py:381-382).
+    SDR: x ~ N(mu, Sigma) via the cached Cholesky factor
+         (reference: qcqp/qcqp.py:394-396); pass sdr_sampler=(mu, L).
+    SPECTRAL: the deterministic relaxation point, broadcast.
+    """
+    n = form.n
+    if method == s.RANDOM:
+        return jax.random.normal(key, (num, n), form.dtype)
+    if method == s.SDR:
+        if sdr_sampler is None:
+            raise ValueError("SDR suggest_batch needs sdr_sampler=(mu, L)")
+        mu, L = sdr_sampler
+        xi = jax.random.normal(key, (num, n), form.dtype)
+        return mu[None, :] + xi @ L.T
+    if method == s.SPECTRAL:
+        if spectral_sol is None:
+            raise ValueError("SPECTRAL suggest_batch needs spectral_sol")
+        return jnp.broadcast_to(spectral_sol, (num, n))
+    raise ValueError(f"Unknown suggest method: {method}")
+
+
+def improve_chain(form: QCQPForm, xs: jax.Array,
+                  methods: Union[str, List[str]], **kwargs) -> jax.Array:
+    """Apply improve methods in sequence to every restart (vmapped).
+
+    Like the reference's improve(method_list), the same kwargs are forwarded
+    to every stage (reference: qcqp/qcqp.py:430-431).
+    """
+    if isinstance(methods, str):
+        methods = [methods]
+    eigh = None
+    for method in methods:
+        if method == s.COORD_DESCENT:
+            fn = lambda x: improve_coord_descent(
+                form, x,
+                num_iters=kwargs.get("num_iters", 1000),
+                viol_tol=kwargs.get("viol_tol", 1e-2),
+                tol=kwargs.get("tol", 1e-4),
+                phase1=kwargs.get("phase1", True))
+            xs = jax.vmap(fn)(xs)
+        elif method == s.ADMM:
+            if eigh is None:
+                eigh = precompute_eigh(form)
+            rho = kwargs.get("rho", None)
+            if rho is None:
+                rho = auto_rho(form)
+            rho = jnp.asarray(rho, form.dtype)
+            fn = lambda x: improve_admm(
+                form, x, rho,
+                num_iters=kwargs.get("num_iters", 1000),
+                viol_lim=kwargs.get("viol_lim", 1e4),
+                tol=kwargs.get("admm_tol", kwargs.get("tol", 1e-2)),
+                phase1=kwargs.get("phase1", True),
+                eigh=eigh)
+            xs = jax.vmap(fn)(xs)
+        elif method == s.DCCP:
+            from ..solvers.ccp import improve_ccp
+            fn = lambda x: improve_ccp(form, x, tau=kwargs.get("tau", 0.005))
+            xs = jax.vmap(fn)(xs)
+        elif method == s.IPOPT:
+            from ..solvers.nlp import improve_nlp
+            fn = lambda x: improve_nlp(form, x)
+            xs = jax.vmap(fn)(xs)
+        else:
+            raise ValueError(f"Unknown improve method: {method}")
+    return xs
+
+
+def solve_restarts(form: QCQPForm, num_restarts: int, key: jax.Array,
+                   suggest: str = s.RANDOM,
+                   improve: Union[str, List[str]] = s.COORD_DESCENT,
+                   mesh: Optional[Mesh] = None,
+                   handler=None, better_tol: float = 1e-4, **kwargs):
+    """Full parallel pipeline: suggest -> improve chain -> best-of reduction.
+
+    With a mesh, the restart axis is sharded across its devices; XLA inserts
+    the reduction collectives (psum/pmin-equivalent) over ICI.
+    Returns (x_best, f_best, viol_best) replicated on all devices.
+    """
+    sdr_sampler = None
+    spectral_sol = None
+    if suggest == s.SDR:
+        if handler is not None and getattr(handler, "mu", None) is not None:
+            sdr_sampler = (handler.mu, handler._sigma_chol)
+        else:
+            from ..solvers.sdp import solve_sdr
+            X, _ = solve_sdr(form)
+            mu = X[:-1, -1]
+            Sigma = X[:-1, :-1] - jnp.outer(mu, mu)
+            Sigma = Sigma + 1e-8 * jnp.eye(form.n, dtype=X.dtype)
+            lam, Q = jnp.linalg.eigh(Sigma)
+            sdr_sampler = (mu, Q * jnp.sqrt(jnp.maximum(lam, 0.0)))
+    elif suggest == s.SPECTRAL:
+        if handler is not None and getattr(handler, "spectral_sol", None) is not None:
+            spectral_sol = handler.spectral_sol
+        else:
+            from ..solvers.sdp import solve_spectral
+            spectral_sol, _ = solve_spectral(form)
+
+    ndev = 1
+    if mesh is not None:
+        ndev = int(np.prod(list(mesh.shape.values())))
+    # pad restarts to a multiple of the device count
+    num_padded = -(-num_restarts // ndev) * ndev
+
+    if mesh is not None:
+        axis = list(mesh.shape.keys())[0]
+        restart_sharding = NamedSharding(mesh, P(axis))
+        replicated = NamedSharding(mesh, P())
+
+    def step(form, key):
+        xs = suggest_batch(form, num_padded, key, suggest,
+                           sdr_sampler=sdr_sampler, spectral_sol=spectral_sol)
+        if mesh is not None:
+            # Shard the restart axis; the best_point reduction then lowers to
+            # cross-device collectives over ICI.
+            xs = jax.lax.with_sharding_constraint(xs, restart_sharding)
+        xs = improve_chain(form, xs, improve, **kwargs)
+        return best_point(form, xs, better_tol)
+
+    if mesh is None:
+        return jax.jit(step)(form, key)
+
+    fn = jax.jit(step, out_shardings=(replicated, replicated, replicated))
+    return fn(form, key)

@@ -1,0 +1,99 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qcqp_tpu as qt
+from qcqp_tpu import core
+from qcqp_tpu.parallel import (
+    make_mesh, best_point, suggest_batch, improve_chain, solve_restarts,
+    admm_phase1_sharded,
+)
+from .test_cd import boolean_ls_form
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+    assert jax.devices()[0].platform == "cpu"
+
+
+def test_best_point_lexicographic():
+    form, _, _ = boolean_ls_form(n=5, m=7, seed=0)
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([
+        rng.standard_normal((6, form.n)),            # infeasible-ish
+        np.sign(rng.standard_normal((2, form.n))),   # feasible
+    ])
+    x, f, v = best_point(form, jnp.asarray(xs))
+    # winner must be one of the feasible rows with smaller objective
+    f6 = float(core.eval_objective(form, jnp.asarray(xs[6])))
+    f7 = float(core.eval_objective(form, jnp.asarray(xs[7])))
+    expect = xs[6] if f6 <= f7 else xs[7]
+    np.testing.assert_array_equal(np.asarray(x), expect)
+    assert float(v) < 1e-9
+
+
+def test_suggest_batch_shapes_and_stats():
+    form, _, _ = boolean_ls_form(n=6, m=8, seed=1)
+    key = jax.random.PRNGKey(0)
+    xs = suggest_batch(form, 512, key, qt.RANDOM)
+    assert xs.shape == (512, 6)
+    assert abs(float(xs.mean())) < 0.1
+    assert abs(float(xs.std()) - 1.0) < 0.1
+
+
+def test_solve_restarts_unsharded():
+    form, A, b = boolean_ls_form(n=8, m=12, seed=3)
+    best = np.inf
+    for bits in range(1 << 8):
+        s = np.array([1.0 if bits >> i & 1 else -1.0 for i in range(8)])
+        best = min(best, float(np.sum((A @ s - b) ** 2)))
+    x, f, v = solve_restarts(form, 64, jax.random.PRNGKey(0))
+    assert float(v) < 1e-2
+    assert float(f) <= best * 1.05 + 1e-9
+
+
+def test_solve_restarts_sharded_matches_unsharded():
+    form, _, _ = boolean_ls_form(n=6, m=9, seed=4)
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(1)
+    x0, f0, v0 = solve_restarts(form, 32, key)
+    x1, f1, v1 = solve_restarts(form, 32, key, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1), atol=1e-10)
+    assert float(f0) == pytest.approx(float(f1), abs=1e-10)
+
+
+def test_improve_chain_composition():
+    form, _, _ = boolean_ls_form(n=5, m=7, seed=5)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.standard_normal((4, form.n)))
+    out = improve_chain(form, xs, [qt.COORD_DESCENT, qt.ADMM],
+                        num_iters=100)
+    assert out.shape == xs.shape
+    # chain must not be worse than CD alone under `better`
+    cd = improve_chain(form, xs, qt.COORD_DESCENT, num_iters=100)
+    for i in range(4):
+        chained = np.asarray(core.better(form, out[i], cd[i]))
+        # chained result wins or ties (better returns second arg on tie)
+        assert np.array_equal(chained, np.asarray(out[i])) or \
+            np.array_equal(chained, np.asarray(cd[i]))
+
+
+def test_constraint_sharded_admm_matches_replicated():
+    n = 4
+    a = np.full(n, 0.5)
+    x = qt.Variable(n)
+    prob = qt.Problem(qt.Minimize(qt.sum_squares(x)),
+                      [qt.sum_squares(x) <= 1, qt.sum_squares(x - a) <= 1,
+                       qt.square(x) <= 4])
+    form, _, _ = qt.canonicalize(prob)
+    from qcqp_tpu.kernels.projection import precompute_eigh
+    from qcqp_tpu.solvers.admm import admm_phase1
+    x0 = jnp.asarray(np.full(n, 3.0))
+    mesh = make_mesh(axis="c")
+    z_sharded = np.asarray(admm_phase1_sharded(form, x0, mesh, num_iters=300))
+    z_ref = np.asarray(admm_phase1(form, precompute_eigh(form), x0,
+                                   1e-2, 300))
+    v = float(core.max_violation(form, jnp.asarray(z_sharded)))
+    assert v < 1e-2
+    np.testing.assert_allclose(z_sharded, z_ref, atol=1e-6)
