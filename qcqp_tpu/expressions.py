@@ -294,11 +294,14 @@ class SquareAtom(QuadAtom):
         return list(self.arg.coeffs.keys())
 
     def coeffs(self, layout):
+        from . import native
         C = self.arg.dense_C(layout)   # (s, n)
         d = self.arg.const             # (s,)
-        P = C[:, :, None] * C[:, None, :]
-        q = 2.0 * d[:, None] * C
-        r = d * d
+        s, n = C.shape
+        P = np.zeros((s, n, n))
+        q = np.zeros((s, n))
+        r = np.zeros(s)
+        native.square_accumulate(C, d, 1.0, P, q, r)
         return P, q, r
 
 
@@ -345,11 +348,14 @@ class MulAtom(QuadAtom):
         return list(self.a.coeffs.keys()) + list(self.b.coeffs.keys())
 
     def coeffs(self, layout):
+        from . import native
         Ca, da = self.a.dense_C(layout), self.a.const
         Cb, db = self.b.dense_C(layout), self.b.const
-        P = 0.5 * (Ca[:, :, None] * Cb[:, None, :] + Cb[:, :, None] * Ca[:, None, :])
-        q = da[:, None] * Cb + db[:, None] * Ca
-        r = da * db
+        s, n = Ca.shape
+        P = np.zeros((s, n, n))
+        q = np.zeros((s, n))
+        r = np.zeros(s)
+        native.mul_accumulate(Ca, da, Cb, db, 1.0, P, q, r)
         return P, q, r
 
 
