@@ -165,6 +165,46 @@ class QCQP:
             result = self._report(x)
         return result
 
+    # -- checkpoint / resume -------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Persist the handler's caches (relaxation solutions, sampler,
+        variable values, RNG key) so long multi-restart runs resume without
+        re-solving the SDP.  The reference keeps these only in memory
+        (reference: qcqp/qcqp.py:372-375; SURVEY.md section 5)."""
+        payload = {"key": np.asarray(self._key)}
+        if self.sdr_sol is not None:
+            payload.update(
+                sdr_sol=np.asarray(self.sdr_sol),
+                sdr_bound=np.asarray(self.sdr_bound),
+                mu=np.asarray(self.mu),
+                sigma_chol=np.asarray(self._sigma_chol))
+        if self.spectral_sol is not None:
+            payload.update(
+                spectral_sol=np.asarray(self.spectral_sol),
+                spectral_bound=np.asarray(self.spectral_bound))
+        try:
+            x = self.layout.flatten()
+            payload["x"] = x
+        except ValueError:
+            pass
+        np.savez(path, **payload)
+
+    def load_state(self, path: str) -> None:
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        with np.load(path) as z:
+            self._key = jnp.asarray(z["key"])
+            if "sdr_sol" in z:
+                self.sdr_sol = jnp.asarray(z["sdr_sol"])
+                self.sdr_bound = float(z["sdr_bound"])
+                self.mu = jnp.asarray(z["mu"])
+                self._sigma_chol = jnp.asarray(z["sigma_chol"])
+            if "spectral_sol" in z:
+                self.spectral_sol = jnp.asarray(z["spectral_sol"])
+                self.spectral_bound = float(z["spectral_bound"])
+            if "x" in z:
+                self.layout.assign(z["x"])
+
     # -- batched multi-restart driver (new capability) ----------------------
     def solve(self, num_restarts: int = 32, suggest: str = s.RANDOM,
               improve=s.COORD_DESCENT, key: Optional[jax.Array] = None, **kwargs):

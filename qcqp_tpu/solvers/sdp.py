@@ -164,13 +164,32 @@ def _sdr_data(form: QCQPForm) -> SDPData:
     return build_sdp(W0, Ws, b, is_ineq)
 
 
+def check_status(sol: SDPSolution, tol: float, inacc_tol: float = 1e-4):
+    """Reference-parity status gate (qcqp/qcqp.py:66-67,94-95): OPTIMAL /
+    OPTIMAL_INACCURATE pass (the latter with a warning); anything else raises.
+    """
+    import logging
+    rp, rd = float(sol.primal_res), float(sol.dual_res)
+    if rp <= tol and rd <= tol:
+        return "optimal"
+    if rp <= inacc_tol and rd <= inacc_tol:
+        logging.getLogger("qcqp_tpu").warning(
+            "SDP solved inaccurately (residuals %.2e / %.2e)", rp, rd)
+        return "optimal_inaccurate"
+    raise RuntimeError(
+        f"Relaxation problem status: not converged "
+        f"(primal {rp:.2e}, dual {rd:.2e} after {int(sol.iterations)} iters)")
+
+
 def solve_sdr(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
-              **_ignored) -> Tuple[jax.Array, jax.Array]:
+              check: bool = True, **_ignored) -> Tuple[jax.Array, jax.Array]:
     """Full Shor relaxation (reference: qcqp/qcqp.py:72-97).
 
     Returns (X, bound) with X the (n+1)x(n+1) PSD lifted solution.
     """
     sol = solve_sdp(_sdr_data(form), max_iters=max_iters, tol=tol)
+    if check:
+        check_status(sol, tol)
     return sol.X, sol.objective
 
 
@@ -190,12 +209,14 @@ def _spectral_data(form: QCQPForm) -> SDPData:
 
 
 def solve_spectral(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
-                   **_ignored) -> Tuple[jax.Array, jax.Array]:
+                   check: bool = True, **_ignored) -> Tuple[jax.Array, jax.Array]:
     """Spectral (aggregated) relaxation (reference: qcqp/qcqp.py:41-70):
     all '<=' rows summed into one constraint, all '==' rows into another,
     then the lifted SDP is solved and x recovered from the top eigenpair.
     """
     sol = solve_sdp(_spectral_data(form), max_iters=max_iters, tol=tol)
+    if check:
+        check_status(sol, tol)
     lam, V = jnp.linalg.eigh(sol.X)   # X symmetric: eigh == reference's eig
     x = jnp.sqrt(jnp.maximum(lam[-1], 0.0)) * V[:-1, -1]
     return x, sol.objective
