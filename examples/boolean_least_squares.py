@@ -6,6 +6,12 @@ on the TPU-native stack: same problem, same method chains, plus the batched
 multi-restart solve the reference lacks.
 """
 import numpy as np
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import qcqp_tpu as qt
 
 n, m = 10, 15

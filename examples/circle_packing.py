@@ -4,6 +4,12 @@ in a box.  Mirrors the reference example (reference: examples/circle_packing.py)
 minus the matplotlib plot.
 """
 import numpy as np
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import qcqp_tpu as qt
 
 n = 5  # number of circles

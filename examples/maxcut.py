@@ -4,6 +4,12 @@
 Mirrors the reference example (reference: examples/maxcut.py).
 """
 import numpy as np
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import qcqp_tpu as qt
 
 n = 25

@@ -8,6 +8,12 @@ with complex data realified to R^{2n}.  Mirrors the reference example
 (reference: examples/secondary_user_beamforming.py).
 """
 import numpy as np
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import qcqp_tpu as qt
 
 n = 20

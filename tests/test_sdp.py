@@ -92,3 +92,16 @@ def test_sdp_against_slsqp_oracle():
         np.testing.assert_allclose(np.sum(A1 * X), 1.0, atol=1e-6)
         assert np.sum(A2 * X) <= 0.1 + 1e-6
         assert np.linalg.eigvalsh(X).min() > -1e-7
+
+
+def test_sdr_batch_matches_single():
+    from .test_cd import boolean_ls_form
+    from qcqp_tpu.parallel.scenarios import stack_forms
+    forms = [boolean_ls_form(n=6, m=9, seed=s)[0] for s in (11, 12)]
+    Xb, bounds, rp, rd = sdp.solve_sdr_batch(stack_forms(forms),
+                                             max_iters=8000, tol=1e-8)
+    for i, form in enumerate(forms):
+        X1, b1 = sdp.solve_sdr(form, max_iters=8000, tol=1e-8)
+        assert float(bounds[i]) == pytest.approx(float(b1), abs=1e-4)
+        np.testing.assert_allclose(np.asarray(Xb[i]), np.asarray(X1),
+                                   atol=1e-3)
