@@ -33,12 +33,12 @@ from .expressions import (  # noqa: E402
     square, sum_squares, quad_form, power, quad_over_lin, matrix_frac,
     sum_entries, mul_elemwise, reshape, canonicalize,
 )
-from .api import QCQP  # noqa: E402
+from .api import QCQP, enable_file_log  # noqa: E402
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "QCQP", "QCQPForm", "make_form",
+    "QCQP", "QCQPForm", "make_form", "enable_file_log",
     "RANDOM", "SDR", "SPECTRAL", "COORD_DESCENT", "ADMM", "DCCP", "IPOPT",
     "suggest_methods", "improve_methods",
     "Variable", "Problem", "Minimize", "Maximize", "Constraint",

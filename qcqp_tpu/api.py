@@ -33,6 +33,17 @@ from .solvers.admm import improve_admm, min_valid_rho
 logger = logging.getLogger("qcqp_tpu")
 
 
+def enable_file_log(path: str = "qcqp.log", level=logging.INFO) -> None:
+    """Opt-in file logging, the reference's qcqp.log pattern
+    (reference: qcqp/qcqp.py:39 does this unconditionally at import;
+    here it is explicit).  Solvers are jitted, so per-iteration traces come
+    from qcqp_tpu.diagnostics instead of log lines."""
+    handler = logging.FileHandler(path, mode="w")
+    handler.setFormatter(logging.Formatter("%(levelname)s:%(name)s:%(message)s"))
+    logger.addHandler(handler)
+    logger.setLevel(level)
+
+
 class QCQP:
     def __init__(self, prob: Problem, seed: int = 0, dtype=None,
                  check_dcp: bool = True):
@@ -163,6 +174,8 @@ class QCQP:
             x0 = jnp.asarray(self.layout.flatten(), self.qcqp_form.dtype)
             x = self._improve_one(mth, x0, **kwargs)
             result = self._report(x)
+            logger.info("improve(%s): objective %.6f, violation %.6f",
+                        mth, result[0], result[1])
         return result
 
     # -- checkpoint / resume -------------------------------------------------

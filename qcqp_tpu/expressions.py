@@ -619,13 +619,13 @@ class Problem:
 
     def is_dcp(self) -> bool:
         """Cheap convexity check used only to emit the reference's
-        already-convex warning (reference: qcqp/utilities.py:326-327)."""
+        already-convex warning (reference: qcqp/utilities.py:326-327).
+        Runs entirely host-side — no device arrays, no transfers."""
         try:
-            form, _, maximize = canonicalize(self)
+            P, q, r, eqs, _, _ = _canonicalize_arrays(self, np.float64)
         except Exception:
             return False
-        P = np.asarray(form.P)
-        is_eq = np.asarray(form.is_eq)
+        is_eq = eqs
         def psd(M):
             return np.all(np.linalg.eigvalsh(M) > -1e-9)
         if not psd(P[0]):
@@ -646,6 +646,13 @@ def canonicalize(prob: Problem, dtype=np.float64):
     instead of a list of sparse QuadraticFunctions it emits one stacked dense
     tensor batch ready for jnp residence.
     """
+    P, q, r, eqs, layout, maximize = _canonicalize_arrays(prob, dtype)
+    form = make_form(P, q, r, eqs)
+    return form, layout, maximize
+
+
+def _canonicalize_arrays(prob: Problem, dtype):
+    """Host-side canonicalization to stacked numpy tensors."""
     layout = VarLayout(prob.variables())
     n = layout.n
 
@@ -672,5 +679,4 @@ def canonicalize(prob: Problem, dtype=np.float64):
     P = 0.5 * (P + np.swapaxes(P, -1, -2))
     q = np.stack(qs).astype(dtype)
     r = np.asarray(rs, dtype=dtype)
-    form = make_form(P, q, r, np.asarray(eqs, dtype=bool))
-    return form, layout, maximize
+    return P, q, r, np.asarray(eqs, dtype=bool), layout, maximize

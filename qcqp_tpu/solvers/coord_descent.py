@@ -15,9 +15,9 @@ The Gauss-Seidel coordinate sweep is inherently sequential per restart
 (realizing the restart parallelism the reference runs one chain at a time).
 
 Deviations (see kernels/onevar.py for tie-break policy):
-  * the slack bisection runs a fixed 32 lockstep halvings with an
-    (es - ss) > tol guard, equivalent to the reference's while-loop
-    (qcqp.py:122-131) for any initial violation below ~4e5;
+  * the slack bisection is a while-loop capped at 40 halvings, equivalent to
+    the reference's while-loop (qcqp.py:122-131) for any initial violation
+    below ~1e8;
   * a sweep that changes nothing terminates phase 1 early (the continuation
     is a deterministic no-op; the reference idles until num_iters);
   * non-finite coordinate updates are rejected (the reference would poison
@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..core import QCQPForm
 from ..kernels.onevar import OneVarConstraints, onevar_qcqp_impl
 
-N_BISECT = 32
+N_BISECT = 40
 
 
 class CDState(NamedTuple):
@@ -99,20 +99,27 @@ def coord_descent_phase1(form: QCQPForm, x0, num_iters=1000, viol_tol=1e-2, tol=
         viol_i = jnp.where(form.is_eq, jnp.abs(vals), jnp.maximum(vals, zero))
         viol = jnp.max(jnp.where(active, viol_i, zero), initial=zero)
 
-        def bis_body(_, c):
-            ss, es, bx, bs, found = c
-            do = (es - ss) > tol
+        def bis_cond(c):
+            ss, es, bx, bs, found, it = c
+            return ((es - ss) > tol) & (it < N_BISECT)
+
+        def bis_body(c):
+            ss, es, bx, bs, found, it = c
             sm = 0.5 * (ss + es)
             xi, feas = onevar_qcqp_impl(zero, zero, zero, con, sm, tol, x_cur=xk)
-            ss = jnp.where(do & ~feas, sm, ss)
-            es = jnp.where(do & feas, sm, es)
-            bx = jnp.where(do & feas, xi, bx)
-            bs = jnp.where(do & feas, sm, bs)
-            found = found | (do & feas)
-            return ss, es, bx, bs, found
+            ss = jnp.where(~feas, sm, ss)
+            es = jnp.where(feas, sm, es)
+            bx = jnp.where(feas, xi, bx)
+            bs = jnp.where(feas, sm, bs)
+            found = found | feas
+            return ss, es, bx, bs, found, it + 1
 
-        init = (jnp.asarray(-tol, x0.dtype), viol - viol_tol, xk, viol, False)
-        _, _, new_xi, new_viol, found = jax.lax.fori_loop(0, N_BISECT, bis_body, init)
+        init = (jnp.asarray(-tol, x0.dtype), viol - viol_tol, xk, viol, False,
+                jnp.asarray(0))
+        # while-loop: trip count adapts to log2(viol/tol) (~17 for O(10)
+        # violations) instead of always paying the N_BISECT worst case
+        _, _, new_xi, new_viol, found, _ = jax.lax.while_loop(
+            bis_cond, bis_body, init)
         accept = found & (new_viol < viol) & jnp.isfinite(new_xi)
         v = jnp.where(accept, new_xi, xk)
         return _apply_update(form, state, k, v, t2, t1, t0), changed | accept
