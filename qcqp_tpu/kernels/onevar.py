@@ -170,6 +170,51 @@ def onevar_qcqp_impl(p0, q0, r0, con: OneVarConstraints, s, tol=DEFAULT_TOL,
 onevar_qcqp = jax.jit(onevar_qcqp_impl, static_argnames=("tol",))
 
 
+def left_endpoints(p, q, c, tol=DEFAULT_TOL):
+    """Finite left endpoints of {p x^2 + q x + c <= 0} under the branch rules.
+
+    Each branch contributes at most one finite left endpoint:
+      p > tol, D >= 0 : (-q - sqrt(D)) / (2p)        (the [lo, hi] interval)
+      p < -tol, D >= 0: (-q - sqrt(D)) / (2p)        (the [b, +inf) branch)
+      |p| <= tol, q < -tol : -c / q                  (the [x0, +inf) ray)
+    Everything else has -inf as its only left endpoint.
+    """
+    p, q, c = map(jnp.asarray, (p, q, c))
+    D = q * q - 4.0 * p * c
+    rD = jnp.sqrt(jnp.maximum(D, 0.0))
+    quad = (jnp.abs(p) > tol) & (D >= 0)
+    lin = (jnp.abs(p) <= tol) & (q < -tol)
+    nan = jnp.full_like(p, jnp.nan)
+    return jnp.where(quad, (-q - rD) / (2.0 * p),
+                     jnp.where(lin, -c / q, nan))
+
+
+def phase1_feasible_point(con: OneVarConstraints, s, x_cur, tol=DEFAULT_TOL):
+    """Feasible point at slack s for the degenerate-objective phase-1 case.
+
+    A nonempty intersection either contains -inf or has its infimum at some
+    constraint's finite left endpoint, so (2m+1) candidates suffice — half
+    the work of the general onevar candidate set.  Ties break proximally to
+    x_cur (same policy as onevar_qcqp_impl).
+
+    Returns (x, exists).
+    """
+    lo1 = left_endpoints(con.p, con.q, con.r - s, tol)
+    # the '==' second side is the *negated* set {-p x^2 - q x - r - s <= 0};
+    # its left endpoints differ from the roots' natural order
+    lo2 = left_endpoints(-con.p, -con.q, -con.r - s, tol)
+    lo2 = jnp.where(con.is_eq, lo2, jnp.nan)
+    ninf = jnp.full((1,), -jnp.inf, dtype=con.p.dtype)
+    cands = jnp.concatenate([lo1, lo2, ninf])
+    feas = _feasible_all(cands, con, s, tol) & ~jnp.isnan(cands)
+    exists = jnp.any(feas)
+    dist = jnp.where(feas, jnp.abs(cands - x_cur), jnp.inf)
+    dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
+    any_finite = jnp.any(jnp.isfinite(dist))
+    best = jnp.where(any_finite, jnp.argmin(dist), jnp.argmax(feas))
+    return cands[best], exists
+
+
 def feasible_exists(con: OneVarConstraints, s, tol=DEFAULT_TOL):
     """Is the intersection of the m constraint sets at slack s nonempty?
 

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core import QCQPForm
-from ..kernels.onevar import OneVarConstraints, onevar_qcqp_impl
+from ..kernels.onevar import (OneVarConstraints, onevar_qcqp_impl,
+                              phase1_feasible_point)
 
 N_BISECT = 40
 
@@ -106,7 +107,7 @@ def coord_descent_phase1(form: QCQPForm, x0, num_iters=1000, viol_tol=1e-2, tol=
         def bis_body(c):
             ss, es, bx, bs, found, it = c
             sm = 0.5 * (ss + es)
-            xi, feas = onevar_qcqp_impl(zero, zero, zero, con, sm, tol, x_cur=xk)
+            xi, feas = phase1_feasible_point(con, sm, xk, tol)
             ss = jnp.where(~feas, sm, ss)
             es = jnp.where(feas, sm, es)
             bx = jnp.where(feas, xi, bx)
