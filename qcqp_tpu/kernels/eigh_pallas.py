@@ -82,6 +82,56 @@ def _constants(n: int):
     return eye, E1, E2, Sp_a, Sp_b, Sp_c, Pi
 
 
+def jacobi_sweeps(A, V0=None, sweeps: int = 2):
+    """Pure-jnp round-robin Jacobi sweeps (same scheme as the Pallas kernel,
+    usable anywhere, any dtype, odd sizes padded).
+
+    Returns (lam_unsorted, V) with A ~= V diag(lam) V^T after `sweeps` full
+    sweeps.  Intended for *warm-started* eigendecomposition: pass the
+    previous eigenbasis via A' = V_prev^T A V_prev, then compose — a nearly
+    diagonal A' converges in 1-2 sweeps of pure matmuls, replacing a
+    sequential eigh in iterative loops (the SDP cone projection).
+    """
+    n0 = A.shape[-1]
+    n = n0 + (n0 % 2)
+    if n != n0:
+        A = jnp.pad(A, ((0, 1), (0, 1)))
+    consts = [jnp.asarray(c, A.dtype) for c in _constants(n)]
+    eye, E1, E2, Sp_a, Sp_b, Sp_c, Pi = consts
+    V = eye if V0 is None else (
+        jnp.pad(V0, ((0, 1), (0, 1))).at[n0, n0].set(1.0) if n != n0 else V0)
+
+    def round_body(_, carry):
+        A, V = carry
+        d = jnp.sum(A * eye, axis=1)
+        o = jnp.sum(A * E1, axis=1)
+        a = Sp_a @ d
+        b = Sp_b @ d
+        c = Sp_c @ o
+        tau = (b - a) / jnp.where(c == 0.0, 1.0, 2.0 * c)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0.0, 1.0, t)
+        t = jnp.where(c == 0.0, 0.0, t)
+        cs = jax.lax.rsqrt(1.0 + t * t)
+        sn = t * cs
+        J = eye * cs[:, None] + E1 * sn[:, None] - E2 * sn[:, None]
+        hp = jax.lax.Precision.HIGHEST
+        JP = jnp.dot(J, Pi, preferred_element_type=A.dtype, precision=hp)
+        A = jnp.dot(JP.T, jnp.dot(A, JP, preferred_element_type=A.dtype,
+                                  precision=hp),
+                    preferred_element_type=A.dtype, precision=hp)
+        V = jnp.dot(V, JP, preferred_element_type=A.dtype, precision=hp)
+        return A, V
+
+    A, V = jax.lax.fori_loop(jnp.int32(0), jnp.int32(sweeps * (n - 1)),
+                             round_body, (A, V))
+    lam = jnp.sum(A * eye, axis=1)
+    if n != n0:
+        lam = lam[:n0]
+        V = V[:n0, :n0]
+    return lam, V
+
+
 def _jacobi_kernel(A_ref, eye_ref, E1_ref, E2_ref, Spa_ref, Spb_ref,
                    Spc_ref, Pi_ref, lam_ref, V_ref, *, n: int, sweeps: int):
     A = A_ref[0]

@@ -92,6 +92,20 @@ def _cone_proj(X, s):
     return _sym(Xp), jnp.maximum(s, 0.0)
 
 
+def _cone_proj_warm(X, s, V, sweeps=2):
+    """PSD projection via warm-started Jacobi: rotate into the previous
+    eigenbasis (nearly diagonal across consecutive splitting iterates), then
+    a couple of matmul-only Jacobi sweeps.  Replaces the sequential eigh that
+    dominates on-device SDP iterations (~30ms per 101x101 eigh on v5e)."""
+    from ..kernels.eigh_pallas import jacobi_sweeps
+    hp = jax.lax.Precision.HIGHEST
+    B = jnp.dot(V.T, jnp.dot(_sym(X), V, precision=hp), precision=hp)
+    lam, W = jacobi_sweeps(B, sweeps=sweeps)
+    Vn = jnp.dot(V, W, precision=hp)
+    Xp = jnp.dot(Vn * jnp.maximum(lam, 0.0), Vn.T, precision=hp)
+    return _sym(Xp), jnp.maximum(s, 0.0), Vn
+
+
 class SDPSolution(NamedTuple):
     X: jax.Array
     objective: jax.Array
@@ -100,10 +114,17 @@ class SDPSolution(NamedTuple):
     dual_res: jax.Array
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
+@partial(jax.jit, static_argnames=("max_iters", "psd_method", "warm_sweeps"))
 def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
-              rho0: float = 1.0, alpha: float = 1.6):
-    """Run the splitting loop until residuals drop below tol."""
+              rho0: float = 1.0, alpha: float = 1.6, psd_method: str = "eigh",
+              warm_sweeps: int = 2):
+    """Run the splitting loop until residuals drop below tol.
+
+    psd_method:
+      "eigh" — exact eigendecomposition per iteration (default; host/f64)
+      "warm" — warm-started Jacobi sweeps in the running eigenbasis
+               (matmul-only; the on-device path, see _cone_proj_warm)
+    """
     N = data.W0.shape[0]
     k = data.b.shape[0]
     dt = data.W0.dtype
@@ -112,18 +133,22 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
     t0 = jnp.zeros(k, dt)
     U0 = jnp.zeros((N, N), dt)
     v0 = jnp.zeros(k, dt)
+    V0 = jnp.eye(N, dtype=dt)
 
     def cond(carry):
-        Y, t, U, v, rho, it, rp, rd = carry
+        Y, t, U, v, V, rho, it, rp, rd = carry
         return (it < max_iters) & ((rp > tol) | (rd > tol))
 
     def body(carry):
-        Y, t, U, v, rho, it, rp, rd = carry
+        Y, t, U, v, V, rho, it, rp, rd = carry
         X1, s1 = _affine_prox(data, Y - U, t - v, rho)
         # over-relaxation
         Xr = alpha * X1 + (1 - alpha) * Y
         sr = alpha * s1 + (1 - alpha) * t
-        Yn, tn = _cone_proj(Xr + U, sr + v)
+        if psd_method == "warm":
+            Yn, tn, V = _cone_proj_warm(Xr + U, sr + v, V, warm_sweeps)
+        else:
+            Yn, tn = _cone_proj(Xr + U, sr + v)
         Un = U + Xr - Yn
         vn = v + sr - tn
 
@@ -139,11 +164,12 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         rho_n = rho * factor
         Un = Un / factor
         vn = vn / factor
-        return Yn, tn, Un, vn, rho_n, it + 1, rp, rd
+        return Yn, tn, Un, vn, V, rho_n, it + 1, rp, rd
 
     big = jnp.asarray(jnp.inf, dt)
-    carry = (Y0, t0, U0, v0, jnp.asarray(rho0, dt), jnp.asarray(0), big, big)
-    Y, t, U, v, rho, it, rp, rd = jax.lax.while_loop(cond, body, carry)
+    carry = (Y0, t0, U0, v0, V0, jnp.asarray(rho0, dt), jnp.asarray(0),
+             big, big)
+    Y, t, U, v, V, rho, it, rp, rd = jax.lax.while_loop(cond, body, carry)
     obj = jnp.sum(data.W0 * Y) * data.obj_scale
     return SDPSolution(Y, obj, it, rp, rd)
 
@@ -226,17 +252,24 @@ def solve_sdr(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
 
 
 def solve_sdr_batch(stacked: QCQPForm, max_iters: int = 5000,
-                    tol: float = 1e-6):
+                    tol: float = 1e-6, psd_method: str = "auto"):
     """Scenario-batched SDR: vmapped splitting solver over stacked instances.
 
-    This is the accelerator-resident path: the per-iteration (n+1)x(n+1)
-    eighs batch across scenarios onto the MXU/VPU pipeline instead of running
-    one latency-bound decomposition at a time.
+    This is the accelerator-resident path.  psd_method "auto" picks the
+    warm-started Jacobi cone projection for float32 (device) data — under
+    vmap its rotation rounds become batched MXU matmuls, measured >100x
+    faster than the vmapped eigh on a v5e chip *and* more accurate (XLA's
+    f32 TPU eigh stalls near 1e-2 residuals; warm reaches ~5e-5) — and the
+    exact eigh for float64 (host) data.
     Returns (X (S, n+1, n+1), bounds (S,), primal_res (S,), dual_res (S,)).
     """
+    if psd_method == "auto":
+        psd_method = "warm" if stacked.dtype == jnp.float32 else "eigh"
+
     def one(P, q, r, is_eq):
         form = QCQPForm(P, q, r, is_eq)
-        sol = solve_sdp(_sdr_data(form), max_iters=max_iters, tol=tol)
+        sol = solve_sdp(_sdr_data(form), max_iters=max_iters, tol=tol,
+                        psd_method=psd_method)
         return sol.X, sol.objective, sol.primal_res, sol.dual_res
 
     return jax.jit(jax.vmap(one))(stacked.P, stacked.q, stacked.r,

@@ -105,3 +105,35 @@ def test_sdr_batch_matches_single():
         assert float(bounds[i]) == pytest.approx(float(b1), abs=1e-4)
         np.testing.assert_allclose(np.asarray(Xb[i]), np.asarray(X1),
                                    atol=1e-3)
+
+
+def test_warm_jacobi_cone_matches_eigh():
+    # warm-started Jacobi PSD projection path converges to the same bound
+    from .test_cd import boolean_ls_form
+    form, _, _ = boolean_ls_form(n=9, m=14, seed=21)
+    data = sdp._sdr_data(form)
+    s_eigh = sdp.solve_sdp(data, max_iters=20000, tol=1e-9)
+    s_warm = sdp.solve_sdp(data, max_iters=20000, tol=1e-9,
+                           psd_method="warm", warm_sweeps=2)
+    assert float(s_warm.objective) == pytest.approx(float(s_eigh.objective),
+                                                    abs=1e-6)
+    assert float(s_warm.primal_res) < 1e-8
+    # 1 sweep also suffices
+    s_w1 = sdp.solve_sdp(data, max_iters=20000, tol=1e-9,
+                         psd_method="warm", warm_sweeps=1)
+    assert float(s_w1.objective) == pytest.approx(float(s_eigh.objective),
+                                                  abs=1e-6)
+
+
+def test_jacobi_sweeps_pure_jnp():
+    from qcqp_tpu.kernels.eigh_pallas import jacobi_sweeps
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    for n0 in (7, 12):  # odd size exercises the padding path
+        A = rng.standard_normal((n0, n0))
+        A = 0.5 * (A + A.T)
+        lam, V = jacobi_sweeps(jnp.asarray(A), sweeps=10)
+        rec = np.asarray(V) @ np.diag(np.asarray(lam)) @ np.asarray(V).T
+        np.testing.assert_allclose(rec, A, atol=1e-8)
+        np.testing.assert_allclose(sorted(np.asarray(lam)),
+                                   np.linalg.eigvalsh(A), atol=1e-8)
