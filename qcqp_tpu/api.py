@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import settings as s
-from .core import QCQPForm, eval_objective, max_violation
+from .core import eval_objective, max_violation
 from .expressions import Problem, canonicalize
 from .solvers.coord_descent import improve_coord_descent
 from .solvers.admm import improve_admm, min_valid_rho

@@ -27,12 +27,11 @@ iterative work happens on device via the solvers.
 
 from __future__ import annotations
 
-import warnings
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from .core import QCQPForm, make_form
+from .core import make_form
 
 __all__ = [
     "Variable", "Problem", "Minimize", "Maximize", "Constraint",

@@ -30,7 +30,6 @@ Deviations from the reference (documented per SURVEY.md section 2d):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -11,13 +11,9 @@ enough (m in the thousands).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import QCQPForm, max_violation
 from ..kernels.projection import precompute_eigh, project_onecons

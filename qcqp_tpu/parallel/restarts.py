@@ -16,8 +16,7 @@ deterministic across shardings (ties broken by lowest restart index).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ from typing import List, Optional, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import settings as s
