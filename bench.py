@@ -148,18 +148,24 @@ def run_device(P, q, r, is_eq):
     import jax.numpy as jnp
     from qcqp_tpu.core import QCQPForm
     from qcqp_tpu.solvers.coord_descent import improve_coord_descent
+    from qcqp_tpu.solvers.coord_descent_fused import improve_coord_descent_fused
     from qcqp_tpu.parallel.restarts import best_point
 
     dt = jnp.float32 if jax.default_backend() != "cpu" else jnp.float64
     form = QCQPForm(jnp.asarray(P, dt), jnp.asarray(q, dt),
                     jnp.asarray(r, dt), jnp.asarray(is_eq))
 
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+
     @jax.jit
     def step(key):
         xs = jax.random.normal(key, (R, N), dt)
-        xs = jax.vmap(
-            lambda x: improve_coord_descent(form, x, num_iters=SWEEPS)
-        )(xs)
+        if fused:
+            xs = improve_coord_descent_fused(form, xs, num_iters=SWEEPS)
+        else:
+            xs = jax.vmap(
+                lambda x: improve_coord_descent(form, x, num_iters=SWEEPS)
+            )(xs)
         return best_point(form, xs)
 
     key = jax.random.PRNGKey(0)

@@ -1,0 +1,137 @@
+"""Batch-level coordinate descent with the fused Pallas phase-1 kernel.
+
+The vmapped per-restart CD (solvers/coord_descent.py) leaves the phase-1
+slack bisection as ~17 separate XLA fusions per coordinate with HBM
+round-trips between them.  This variant restructures phase 1 at the batch
+level — state (R, n) / (R, m+1) — so the entire bisection for each
+coordinate step runs inside one pallas_call over 128-restart lane tiles
+(kernels/onevar_pallas.py).
+
+Float behavior: boundary comparisons in the fused kernel carry a ~1e-6
+relative slop (see onevar_pallas._feas_rows) and the parity contract with
+the unfused path is statistical — identical acceptance rules, occasionally
+different accepted slacks at ulp-tangency oracles.  Quality is asserted in
+tests (never worse than the start; matches the sequential reference within
+bisection granularity on >90% of lanes).
+
+Phase 2 reuses the unfused per-restart path (it has no inner bisection to
+fuse).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import QCQPForm
+from ..kernels.onevar_pallas import LANES, phase1_coordinate_update
+from .coord_descent import coord_descent_phase2
+
+N_BISECT = 40
+
+
+def _refresh_batch(form: QCQPForm, xs):
+    G = jnp.einsum("kij,rj->rki", form.P, xs,
+                   preferred_element_type=xs.dtype)     # (R, m+1, n)
+    F = jnp.sum(G * xs[:, None, :], axis=-1) + xs @ form.q.T + form.r
+    return G, F
+
+
+def _viols_batch(form: QCQPForm, F):
+    vals = F[:, 1:]
+    v = jnp.where(form.is_eq[None, :], jnp.abs(vals), jnp.maximum(vals, 0.0))
+    return jnp.max(v, axis=1, initial=0.0)
+
+
+def coord_descent_phase1_fused(form: QCQPForm, xs, num_iters=1000,
+                               viol_tol=1e-2, tol=1e-4, interpret=False):
+    """Batched phase 1 (reference: qcqp/qcqp.py:101-148) with the Pallas
+    bisection kernel.  xs: (R, n), R a multiple of 128 (caller pads)."""
+    R, n = xs.shape
+    m = form.m
+    Pdiag = jnp.diagonal(form.P, axis1=1, axis2=2)      # (m+1, n)
+    eq_rows = jnp.broadcast_to(form.is_eq[:, None], (m, R))
+
+    def coord_body(k, carry):
+        x, G, F, alive, changed = carry
+        xk = x[:, k]                                    # (R,)
+        t2 = Pdiag[:, k]                                # (m+1,)
+        Gk = G[:, :, k]                                 # (R, m+1)
+        qk = form.q[:, k]                               # (m+1,)
+        t1 = 2.0 * (Gk - t2[None, :] * xk[:, None]) + qk[None, :]
+        t0 = (F - xk[:, None] * (2.0 * Gk + qk[None, :])
+              + t2[None, :] * xk[:, None] ** 2)
+
+        t1c = t1[:, 1:].T                               # (m, R)
+        t0c = t0[:, 1:].T
+        t2c = jnp.broadcast_to(t2[1:, None], (m, R))
+        active = (t2c != 0) | (t1c != 0)
+
+        vals = F[:, 1:].T                               # (m, R)
+        viol_i = jnp.where(eq_rows, jnp.abs(vals), jnp.maximum(vals, 0.0))
+        viol = jnp.max(jnp.where(active, viol_i, 0.0), axis=0)   # (R,)
+
+        v = phase1_coordinate_update(
+            t2c, t1c, t0c, eq_rows, active, xk, viol,
+            tol=tol, viol_tol=viol_tol, n_bisect=N_BISECT,
+            interpret=interpret).astype(x.dtype)
+        v = jnp.where(alive, v, xk)
+        accept = v != xk
+
+        delta = v - xk                                  # (R,)
+        Pk = jnp.take(form.P, k, axis=2)                # (m+1, n)
+        G = G + delta[:, None, None] * Pk[None, :, :]
+        F = t2[None, :] * v[:, None] ** 2 + t1 * v[:, None] + t0
+        x = x.at[:, k].set(v)
+        return x, G, F, alive, changed | accept
+
+    def cond(carry):
+        x, G, F, t, viol_last, changed = carry
+        alive = (viol_last >= viol_tol) & changed
+        return (t < num_iters) & jnp.any(alive)
+
+    def body(carry):
+        x, G, F, t, viol_last, changed = carry
+        G, F = _refresh_batch(form, x)                   # drift control
+        alive = (viol_last >= viol_tol) & changed
+        x, G, F, _, changed_new = jax.lax.fori_loop(
+            0, n, coord_body,
+            (x, G, F, alive, jnp.zeros_like(changed)))
+        viol = _viols_batch(form, F)
+        return x, G, F, t + 1, viol, jnp.where(alive, changed_new, changed)
+
+    G0, F0 = _refresh_batch(form, xs)
+    init = (xs, G0, F0, jnp.asarray(0),
+            jnp.full((R,), jnp.inf, xs.dtype), jnp.ones((R,), bool))
+    x, _, _, _, _, _ = jax.lax.while_loop(cond, body, init)
+    return x
+
+
+@partial(jax.jit, static_argnames=("num_iters", "viol_tol", "tol", "phase1",
+                                   "interpret"))
+def improve_coord_descent_fused(form: QCQPForm, xs, num_iters=1000,
+                                viol_tol=1e-2, tol=1e-4, phase1=True,
+                                interpret=False):
+    """Batched two-phase CD with the fused phase-1 kernel.
+
+    xs (R, n); R is padded internally to a multiple of 128.
+    """
+    R = xs.shape[0]
+    R_pad = -(-R // LANES) * LANES
+    xs_p = jnp.pad(xs, ((0, R_pad - R), (0, 0))) if R_pad != R else xs
+
+    if phase1:
+        xs_p = coord_descent_phase1_fused(form, xs_p, num_iters, viol_tol,
+                                          tol, interpret)
+    from ..core import max_violation
+
+    def tail(x):
+        return jax.lax.cond(
+            max_violation(form, x) < viol_tol,
+            lambda x_: coord_descent_phase2(form, x_, num_iters, viol_tol, tol),
+            lambda x_: x_, x)
+
+    xs_p = jax.vmap(tail)(xs_p)
+    return xs_p[:R]
