@@ -34,6 +34,9 @@ from .expressions import (  # noqa: E402
     sum_entries, mul_elemwise, reshape, canonicalize,
 )
 from .api import QCQP, enable_file_log  # noqa: E402
+from .complexvar import (  # noqa: E402
+    ComplexVariable, abs2, sum_abs2, cquad_form, real, imag, conj,
+)
 
 __version__ = "0.1.0"
 
@@ -44,4 +47,6 @@ __all__ = [
     "Variable", "Problem", "Minimize", "Maximize", "Constraint",
     "square", "sum_squares", "quad_form", "power", "quad_over_lin",
     "matrix_frac", "sum_entries", "mul_elemwise", "reshape", "canonicalize",
+    "ComplexVariable", "abs2", "sum_abs2", "cquad_form", "real", "imag",
+    "conj",
 ]

@@ -596,13 +596,21 @@ class VarLayout:
 class Problem:
     """A quadratic problem: objective + list of quadratic constraints."""
 
-    def __init__(self, objective: Minimize, constraints: Sequence[Constraint] = ()):
+    def __init__(self, objective: Minimize, constraints: Sequence = ()):
         if not isinstance(objective, Minimize):
             raise ValueError("objective must be Minimize(...) or Maximize(...)")
         self.objective = objective
-        self.constraints = list(constraints)
-        for c in self.constraints:
-            if not isinstance(c, Constraint):
+        # Flatten nested lists: complex equalities (complexvar.ComplexAffine
+        # __eq__) expand to [re ==, im ==] pairs.
+        self.constraints: List[Constraint] = []
+        stack = list(constraints)[::-1]
+        while stack:
+            c = stack.pop()
+            if isinstance(c, (list, tuple)):
+                stack.extend(list(c)[::-1])
+            elif isinstance(c, Constraint):
+                self.constraints.append(c)
+            else:
                 raise ValueError(f"not a constraint: {c!r}")
 
     def variables(self) -> List[Variable]:

@@ -137,7 +137,11 @@ def _phase1_kernel(p_ref, q_ref, r_ref, eq_ref, act_ref, xk_ref, viol_ref,
 
     def bis_cond(c):
         ss, es, bx, bs, found, it = c
-        return jnp.any((es - ss) > tol) & (it < n_bisect)
+        # Reduce in f32, not via jnp.any over i1: Mosaic lowers bool
+        # reductions through an intermediate whose dtype follows the x64
+        # config at *outer-jit lowering* time (outside our enable_x64(False)
+        # scope), which trips its 32-bit-only scalar conversion.
+        return (jnp.max(es - ss) > tol) & (it < n_bisect)
 
     def bis_body(c):
         ss, es, bx, bs, found, it = c
