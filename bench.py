@@ -147,7 +147,7 @@ def run_device(P, q, r, is_eq):
     import jax
     import jax.numpy as jnp
     from qcqp_tpu.core import QCQPForm
-    from qcqp_tpu.solvers.coord_descent import improve_coord_descent
+    from qcqp_tpu.solvers.coord_descent import improve_coord_descent_batch
     from qcqp_tpu.solvers.coord_descent_fused import improve_coord_descent_fused
     from qcqp_tpu.parallel.restarts import best_point
 
@@ -166,9 +166,7 @@ def run_device(P, q, r, is_eq):
         if fused:
             xs = improve_coord_descent_fused(form, xs, num_iters=SWEEPS)
         else:
-            xs = jax.vmap(
-                lambda x: improve_coord_descent(form, x, num_iters=SWEEPS)
-            )(xs)
+            xs = improve_coord_descent_batch(form, xs, num_iters=SWEEPS)
         return best_point(form, xs)
 
     key = jax.random.PRNGKey(0)

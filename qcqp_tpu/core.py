@@ -86,8 +86,12 @@ def eval_all(form: QCQPForm, x: jax.Array) -> jax.Array:
     One (m+1,n,n)x(n,) batched contraction (reference computes these one
     at a time: qcqp/utilities.py:49-50).
     """
-    Px = jnp.einsum("knm,m->kn", form.P, x, preferred_element_type=x.dtype)
-    return jnp.einsum("kn,n->k", Px + form.q, x) + form.r
+    k, n = form.P.shape[0], form.P.shape[-1]
+    # Flat matmul, not einsum("knm,m->kn"): under vmap over a large restart
+    # axis XLA can lower that einsum through a materialized (R, m+1, n, n)
+    # broadcast (23 GB at the headline-bench shape) instead of a dot_general.
+    Px = (form.P.reshape(k * n, n) @ x).reshape(k, n)
+    return (Px + form.q) @ x + form.r
 
 
 def eval_objective(form: QCQPForm, x: jax.Array) -> jax.Array:

@@ -88,13 +88,15 @@ def improve_chain(form: QCQPForm, xs: jax.Array,
     eigh = None
     for method in methods:
         if method == s.COORD_DESCENT:
-            fn = lambda x: improve_coord_descent(
-                form, x,
+            # batched (not vmap of the single-restart improve): vmapping its
+            # phase-2 lax.cond broadcasts form.P per restart
+            from ..solvers.coord_descent import improve_coord_descent_batch
+            xs = improve_coord_descent_batch(
+                form, xs,
                 num_iters=kwargs.get("num_iters", 1000),
                 viol_tol=kwargs.get("viol_tol", 1e-2),
                 tol=kwargs.get("tol", 1e-4),
                 phase1=kwargs.get("phase1", True))
-            xs = jax.vmap(fn)(xs)
         elif method == s.ADMM:
             if eigh is None:
                 eigh = precompute_eigh(form)

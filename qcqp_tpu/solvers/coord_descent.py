@@ -46,7 +46,11 @@ class CDState(NamedTuple):
 
 
 def _refresh(form: QCQPForm, x) -> CDState:
-    G = jnp.einsum("kij,j->ki", form.P, x, preferred_element_type=x.dtype)
+    k, n = form.P.shape[0], form.P.shape[-1]
+    # Flat matmul, not einsum("kij,j->ki"): under vmap over restarts XLA can
+    # lower the einsum via a materialized (R, m+1, n, n) broadcast (23 GB at
+    # the bench shape) instead of one dot_general.
+    G = (form.P.reshape(k * n, n) @ x).reshape(k, n)
     F = G @ x + form.q @ x + form.r
     return CDState(x, G, F)
 
@@ -203,7 +207,22 @@ def improve_coord_descent(form: QCQPForm, x, num_iters=1000, viol_tol=1e-2,
 @partial(jax.jit, static_argnames=("num_iters", "viol_tol", "tol", "phase1"))
 def improve_coord_descent_batch(form: QCQPForm, xs, num_iters=1000, viol_tol=1e-2,
                                 tol=1e-4, phase1=True):
-    """vmap of improve_coord_descent over a leading restart axis of xs."""
-    return jax.vmap(
-        lambda x: improve_coord_descent(form, x, num_iters, viol_tol, tol, phase1)
+    """Batched two-phase CD over a leading restart axis of xs.
+
+    Not a plain vmap of improve_coord_descent: vmapping its phase-2
+    lax.cond broadcasts the branch-closure form.P to a per-restart
+    (R, m+1, n, n) while-loop carry (23 GB at the headline-bench shape).
+    Both branches of a batched cond run anyway, so phase 2 runs for every
+    lane here and the feasibility gate (reference: qcqp/qcqp.py:189-190)
+    becomes an output select.
+    """
+    from ..core import max_violation
+    if phase1:
+        xs = jax.vmap(
+            lambda x: coord_descent_phase1(form, x, num_iters, viol_tol, tol)
+        )(xs)
+    feas = jax.vmap(lambda x: max_violation(form, x))(xs) < viol_tol
+    x2 = jax.vmap(
+        lambda x: coord_descent_phase2(form, x, num_iters, viol_tol, tol)
     )(xs)
+    return jnp.where(feas[:, None], x2, xs)

@@ -33,8 +33,12 @@ N_BISECT = 40
 
 
 def _refresh_batch(form: QCQPForm, xs):
-    G = jnp.einsum("kij,rj->rki", form.P, xs,
-                   preferred_element_type=xs.dtype)     # (R, m+1, n)
+    k, n = form.P.shape[0], form.P.shape[-1]
+    # Explicit 2-D matmul (not einsum "kij,rj->rki"): XLA sometimes lowers
+    # the einsum via a materialized (R, m+1, n, n) broadcast — 23 GB at the
+    # bench shape — instead of a dot_general.
+    G = (form.P.reshape(k * n, n) @ xs.T).reshape(k, n, -1)
+    G = jnp.moveaxis(G, -1, 0)                          # (R, m+1, n)
     F = jnp.sum(G * xs[:, None, :], axis=-1) + xs @ form.q.T + form.r
     return G, F
 
@@ -127,11 +131,15 @@ def improve_coord_descent_fused(form: QCQPForm, xs, num_iters=1000,
                                           tol, interpret)
     from ..core import max_violation
 
-    def tail(x):
-        return jax.lax.cond(
-            max_violation(form, x) < viol_tol,
-            lambda x_: coord_descent_phase2(form, x_, num_iters, viol_tol, tol),
-            lambda x_: x_, x)
-
-    xs_p = jax.vmap(tail)(xs_p)
+    # Phase 2 gate (reference: qcqp/qcqp.py:189-190), batched.  NOT a vmapped
+    # lax.cond: batching a cond broadcasts branch-closure constants per lane
+    # (form.P becomes a (R, m+1, n, n) while-loop carry — 23 GB at the bench
+    # shape).  Both branches of a batched cond execute anyway, so running
+    # phase 2 for every lane and selecting by the feasibility mask is the
+    # same work without the broadcast.
+    feas = jax.vmap(lambda x: max_violation(form, x))(xs_p) < viol_tol
+    x2 = jax.vmap(
+        lambda x: coord_descent_phase2(form, x, num_iters, viol_tol, tol)
+    )(xs_p)
+    xs_p = jnp.where(feas[:, None], x2, xs_p)
     return xs_p[:R]
