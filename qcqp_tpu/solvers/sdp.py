@@ -106,34 +106,52 @@ def _cone_proj_warm(X, s, V, sweeps=2):
     return _sym(Xp), jnp.maximum(s, 0.0), Vn
 
 
+class SDPState(NamedTuple):
+    """Full splitting-iteration state — pass back as `init` to warm-start a
+    related instance (parameterized problem families, serving loops).  The
+    reference can only re-solve from scratch through CVXPY."""
+    Y: jax.Array       # cone-block primal (N, N)
+    t: jax.Array       # slack block (k,)
+    U: jax.Array       # scaled dual (N, N)
+    v: jax.Array       # slack dual (k,)
+    V: jax.Array       # running eigenbasis (for psd_method="warm")
+    rho: jax.Array
+
+
 class SDPSolution(NamedTuple):
     X: jax.Array
     objective: jax.Array
     iterations: jax.Array
     primal_res: jax.Array
     dual_res: jax.Array
+    state: SDPState = None
 
 
 @partial(jax.jit, static_argnames=("max_iters", "psd_method", "warm_sweeps"))
 def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
               rho0: float = 1.0, alpha: float = 1.6, psd_method: str = "eigh",
-              warm_sweeps: int = 2):
+              warm_sweeps: int = 2, init: SDPState = None):
     """Run the splitting loop until residuals drop below tol.
 
     psd_method:
       "eigh" — exact eigendecomposition per iteration (default; host/f64)
       "warm" — warm-started Jacobi sweeps in the running eigenbasis
                (matmul-only; the on-device path, see _cone_proj_warm)
+    init: a previous SDPSolution.state to warm-start from (same shapes).
     """
     N = data.W0.shape[0]
     k = data.b.shape[0]
     dt = data.W0.dtype
 
-    Y0 = jnp.eye(N, dtype=dt)
-    t0 = jnp.zeros(k, dt)
-    U0 = jnp.zeros((N, N), dt)
-    v0 = jnp.zeros(k, dt)
-    V0 = jnp.eye(N, dtype=dt)
+    if init is not None:
+        Y0, t0, U0, v0, V0 = init.Y, init.t, init.U, init.v, init.V
+        rho0 = init.rho
+    else:
+        Y0 = jnp.eye(N, dtype=dt)
+        t0 = jnp.zeros(k, dt)
+        U0 = jnp.zeros((N, N), dt)
+        v0 = jnp.zeros(k, dt)
+        V0 = jnp.eye(N, dtype=dt)
 
     def cond(carry):
         Y, t, U, v, V, rho, it, rp, rd = carry
@@ -155,12 +173,16 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         rp = jnp.sqrt(jnp.sum((X1 - Yn) ** 2) + jnp.sum((s1 - tn) ** 2))
         rd = rho * jnp.sqrt(jnp.sum((Yn - Y) ** 2) + jnp.sum((tn - t) ** 2))
 
-        # residual balancing every 100 iterations (K is rho-independent,
-        # so changing rho costs nothing but a dual rescale)
-        do_adapt = (it % 100 == 99)
-        grow = do_adapt & (rp > 10.0 * rd)
-        shrink = do_adapt & (rd > 10.0 * rp)
-        factor = jnp.where(grow, 2.0, jnp.where(shrink, 0.5, 1.0))
+        # Residual balancing every 50 iterations (K is rho-independent, so
+        # changing rho costs nothing but a dual rescale).  OSQP-style smooth
+        # factor sqrt(rp/rd) clipped to [1/5, 5]; the coarse 2x/0.5x step
+        # this replaces left a persistent imbalance that stalled the tail at
+        # ~1e-6 residuals (ROADMAP item 4).
+        do_adapt = (it % 50 == 49) & (rp > 0.0) & (rd > 0.0) & \
+            jnp.isfinite(rp) & jnp.isfinite(rd)
+        ratio = jnp.sqrt(jnp.maximum(rp, 1e-300) / jnp.maximum(rd, 1e-300))
+        factor = jnp.where(do_adapt & ((ratio > 1.2) | (ratio < 1.0 / 1.2)),
+                           jnp.clip(ratio, 0.2, 5.0), 1.0)
         rho_n = rho * factor
         Un = Un / factor
         vn = vn / factor
@@ -171,7 +193,7 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
              big, big)
     Y, t, U, v, V, rho, it, rp, rd = jax.lax.while_loop(cond, body, carry)
     obj = jnp.sum(data.W0 * Y) * data.obj_scale
-    return SDPSolution(Y, obj, it, rp, rd)
+    return SDPSolution(Y, obj, it, rp, rd, SDPState(Y, t, U, v, V, rho))
 
 
 # ---------------------------------------------------------------------------
@@ -227,32 +249,45 @@ def _relaxation_device(device):
     return device
 
 
-def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device):
+def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
+                  init: SDPState = None):
     dev = _relaxation_device(device)
     if dev is not None:
         form64 = jax.device_put(form.astype(jnp.float64), dev)
+        if init is not None:
+            init = jax.device_put(
+                jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), init), dev)
         with jax.default_device(dev):
-            sol = solve_sdp(data_fn(form64), max_iters=max_iters, tol=tol)
+            sol = solve_sdp(data_fn(form64), max_iters=max_iters, tol=tol,
+                            init=init)
         return SDPSolution(sol.X.astype(form.dtype), sol.objective,
-                           sol.iterations, sol.primal_res, sol.dual_res)
-    return solve_sdp(data_fn(form), max_iters=max_iters, tol=tol)
+                           sol.iterations, sol.primal_res, sol.dual_res,
+                           sol.state)
+    return solve_sdp(data_fn(form), max_iters=max_iters, tol=tol, init=init)
 
 
 def solve_sdr(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
-              check: bool = True, device="auto",
-              **_ignored) -> Tuple[jax.Array, jax.Array]:
+              check: bool = True, device="auto", warm: SDPState = None,
+              full: bool = False, **_ignored):
     """Full Shor relaxation (reference: qcqp/qcqp.py:72-97).
 
     Returns (X, bound) with X the (n+1)x(n+1) PSD lifted solution.
+    warm: a previous solution's `.state` for a *related* instance (same
+    shapes) — parameterized problem families re-solve in a fraction of the
+    cold iteration count.  full=True returns the SDPSolution (with `.state`)
+    instead of the (X, bound) pair.
     """
-    sol = _solve_single(_sdr_data, form, max_iters, tol, device)
+    sol = _solve_single(_sdr_data, form, max_iters, tol, device, init=warm)
     if check:
         check_status(sol, tol)
+    if full:
+        return sol
     return sol.X, sol.objective
 
 
 def solve_sdr_batch(stacked: QCQPForm, max_iters: int = 5000,
-                    tol: float = 1e-6, psd_method: str = "auto"):
+                    tol: float = 1e-6, psd_method: str = "auto",
+                    warm: SDPState = None, return_state: bool = False):
     """Scenario-batched SDR: vmapped splitting solver over stacked instances.
 
     This is the accelerator-resident path.  psd_method "auto" picks the
@@ -261,19 +296,29 @@ def solve_sdr_batch(stacked: QCQPForm, max_iters: int = 5000,
     faster than the vmapped eigh on a v5e chip *and* more accurate (XLA's
     f32 TPU eigh stalls near 1e-2 residuals; warm reaches ~5e-5) — and the
     exact eigh for float64 (host) data.
-    Returns (X (S, n+1, n+1), bounds (S,), primal_res (S,), dual_res (S,)).
+
+    warm: batched SDPState from a previous call (serving loops over
+    slowly-drifting instance banks re-solve warm).  return_state=True appends
+    the batched final states to the return tuple.
+    Returns (X (S, n+1, n+1), bounds (S,), primal_res (S,), dual_res (S,)
+    [, states]).
     """
     if psd_method == "auto":
         psd_method = "warm" if stacked.dtype == jnp.float32 else "eigh"
 
-    def one(P, q, r, is_eq):
+    def one(P, q, r, is_eq, init):
         form = QCQPForm(P, q, r, is_eq)
         sol = solve_sdp(_sdr_data(form), max_iters=max_iters, tol=tol,
-                        psd_method=psd_method)
-        return sol.X, sol.objective, sol.primal_res, sol.dual_res
+                        psd_method=psd_method, init=init)
+        return sol.X, sol.objective, sol.primal_res, sol.dual_res, sol.state
 
-    return jax.jit(jax.vmap(one))(stacked.P, stacked.q, stacked.r,
-                                  stacked.is_eq)
+    fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0,
+                                        None if warm is None else 0)))
+    X, obj, rp, rd, states = fn(stacked.P, stacked.q, stacked.r,
+                                stacked.is_eq, warm)
+    if return_state:
+        return X, obj, rp, rd, states
+    return X, obj, rp, rd
 
 
 def _spectral_data(form: QCQPForm) -> SDPData:

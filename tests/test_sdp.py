@@ -137,3 +137,37 @@ def test_jacobi_sweeps_pure_jnp():
         np.testing.assert_allclose(rec, A, atol=1e-8)
         np.testing.assert_allclose(sorted(np.asarray(lam)),
                                    np.linalg.eigvalsh(A), atol=1e-8)
+
+
+def test_warm_start_resolve_fewer_iterations():
+    """A perturbed instance re-solved from the previous state converges in a
+    fraction of the cold iteration count (parameterized-family serving)."""
+    from .test_cd import boolean_ls_form
+    form, _, _ = boolean_ls_form(n=6, m=6, seed=7)
+    sol0 = sdp.solve_sdr(form, max_iters=20000, tol=1e-8, full=True)
+
+    # perturb the linear terms by 0.1% (a serving-style drift)
+    form2 = type(form)(form.P, form.q * 1.001, form.r, form.is_eq)
+    warm = sdp.solve_sdr(form2, max_iters=20000, tol=1e-8, full=True,
+                         warm=sol0.state)
+    cold = sdp.solve_sdr(form2, max_iters=20000, tol=1e-8, full=True)
+    assert float(warm.primal_res) <= 1e-8 and float(warm.dual_res) <= 1e-8
+    np.testing.assert_allclose(float(warm.objective), float(cold.objective),
+                               rtol=1e-5, atol=1e-6)
+    assert int(warm.iterations) < int(cold.iterations) * 0.7, (
+        int(warm.iterations), int(cold.iterations))
+
+
+def test_warm_start_batch_roundtrip():
+    from .test_cd import boolean_ls_form
+    from qcqp_tpu.parallel.scenarios import stack_forms
+    forms = [boolean_ls_form(n=5, m=5, seed=s)[0] for s in range(3)]
+    stacked = stack_forms(forms)
+    X, b, rp, rd, states = sdp.solve_sdr_batch(
+        stacked, max_iters=4000, tol=1e-7, return_state=True)
+    X2, b2, rp2, rd2 = sdp.solve_sdr_batch(
+        stacked, max_iters=50, tol=1e-7, warm=states)
+    # warm restart of the same instances: already converged, stays converged
+    assert np.asarray(rp2).max() < 1e-6
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), rtol=1e-5,
+                               atol=1e-7)
