@@ -37,44 +37,61 @@ LANES = 128
 DEFAULT_TOL = 1e-4
 
 
-def _feas_rows(x, p, q, c, tol):
-    """feasible_ineq for candidate rows x (C, R) against one broadcast
-    constraint row (1, R) each of p, q, c.
+def _canon_leq(p, q, c, tol):
+    """Canonicalize the solution set of p x^2 + q x + c <= 0 into the single
+    membership form
 
-    Boundary comparisons carry a ~4-ulp relative slop: the candidates are
-    these very boundary points computed by a *separately compiled*
-    expression, and XLA's FMA contraction can move the recomputed root by
-    1 ulp, flipping an exact >= at the candidate's own boundary.  The slop
-    is ~1e-6 relative — three orders below the 1e-4 bisection granularity.
+        feas(x) = base + sgn * [ x >= a - es*eps(x) and x <= b + es*eps(x) ]
 
-    Returns a float32 0/1 mask — Mosaic cannot select over i1 vectors, so
-    all mask algebra here stays in f32.
+    with per-constraint (base, sgn, a, b, es) — candidate-independent, so the
+    quadratic-formula work (D, roots) runs once per constraint instead of
+    once per (constraint, candidate) pair.  Cases:
+      p > tol, D >= 0 : interval [lo, hi]        base 0, sgn +1, es +1
+      p > tol, D < 0  : empty                    base 0, sgn  0
+      p < -tol, D >= 0: complement of (hi, lo)   base 1, sgn -1, es -1
+      p < -tol, D < 0 : full line                base 1, sgn  0
+      |p| <= tol      : linear / full per sign(q)
+    Also returns the left-endpoint candidate of the set (reference:
+    qcqp/utilities.py:210-231 left endpoints; NaN when none).
+
+    eps(x) is the caller's per-candidate ~4-ulp relative slop: candidates are
+    these very boundary points recomputed by a separately compiled
+    expression, and FMA contraction can move a root by 1 ulp.
     """
     f32 = jnp.float32
-    eps = jnp.where(jnp.isfinite(x), 5e-7 * (1.0 + jnp.abs(x)), 0.0)
     D = q * q - 4.0 * p * c
     rD = jnp.sqrt(jnp.maximum(D, 0.0))
-    two_p = 2.0 * p
+    two_p = jnp.where(jnp.abs(p) > tol, 2.0 * p, 1.0)
     lo = (-q - rD) / two_p
     hi = (-q + rD) / two_p
-    feas_pos = ((D >= 0) & (x >= lo - eps) & (x <= hi + eps)).astype(f32)
-    feas_neg = ((D < 0) | (x <= hi + eps) | (x >= lo - eps)).astype(f32)
-    xlin = -c / q
-    feas_lin = jnp.where(q > tol, (x <= xlin + eps).astype(f32),
-                         jnp.where(q < -tol, (x >= xlin - eps).astype(f32),
-                                   jnp.ones_like(x, f32)))
-    return jnp.where(p > tol, feas_pos, jnp.where(p < -tol, feas_neg, feas_lin))
-
-
-def _left_ep_rows(p, q, c, tol):
-    """left_endpoints for full (m, R) blocks."""
-    D = q * q - 4.0 * p * c
-    rD = jnp.sqrt(jnp.maximum(D, 0.0))
-    quad = (jnp.abs(p) > tol) & (D >= 0)
-    lin = (jnp.abs(p) <= tol) & (q < -tol)
+    xlin = -c / jnp.where(jnp.abs(q) > tol, q, 1.0)
+    ninf = jnp.full_like(p, -jnp.inf)
+    pinf = jnp.full_like(p, jnp.inf)
     nan = jnp.full_like(p, jnp.nan)
-    return jnp.where(quad, (-q - rD) / (2.0 * p),
-                     jnp.where(lin, -c / q, nan))
+
+    pos, neg = p > tol, p < -tol
+    Dge = D >= 0
+    qpos, qneg = q > tol, q < -tol
+    lin = ~pos & ~neg
+
+    base = (neg | (lin & ~qpos & ~qneg)).astype(f32)
+    # interval rows: pos&Dge (a=lo,b=hi) | lin&qpos ((-inf, xlin)) |
+    #                lin&qneg ((xlin, inf))
+    interval = (pos & Dge) | (lin & (qpos | qneg))
+    complement = neg & Dge
+    sgn = jnp.where(interval, 1.0, jnp.where(complement, -1.0, 0.0))
+    es = jnp.where(complement, -1.0, 1.0)
+    a = jnp.where(pos & Dge, lo,
+                  jnp.where(lin & qneg, xlin,
+                            jnp.where(complement, hi, ninf)))
+    b = jnp.where(pos & Dge, hi,
+                  jnp.where(lin & qpos, xlin,
+                            jnp.where(complement, lo, pinf)))
+    # left-endpoint candidate (matches the old _left_ep_rows selection)
+    cand = jnp.where(pos & Dge, lo,
+                     jnp.where(neg & Dge, lo,
+                               jnp.where(lin & qneg, xlin, nan)))
+    return base, sgn, a, b, es, cand
 
 
 def feasible_point_rows(p, q, r, eq, act, xk, s, m, tol):
@@ -82,28 +99,42 @@ def feasible_point_rows(p, q, r, eq, act, xk, s, m, tol):
 
     Identical semantics to kernels.onevar.phase1_feasible_point, restructured
     for lane-major tiles (also used directly by the Pallas kernel body).
+    The per-constraint interval bounds are hoisted out of the candidate loop
+    (the old form recomputed the quadratic formula once per (constraint,
+    candidate) pair — 4x more VPU work at the bench shape).
     """
     big = jnp.float32(jnp.inf)
-    sb = s[None, :]
-    lo1 = _left_ep_rows(p, q, r - sb, tol)              # (m, R)
-    lo2 = _left_ep_rows(-p, -q, -r - sb, tol)
-    lo2 = jnp.where(eq > 0, lo2, jnp.nan)
-    ninf = jnp.full((1, lo1.shape[1]), -jnp.inf, lo1.dtype)
-    cands = jnp.concatenate([lo1, lo2, ninf], axis=0)   # (2m+1, R)
-
     f32 = jnp.float32
-    feas = jnp.ones(cands.shape, f32)   # f32 0/1 masks throughout (Mosaic)
+    one = jnp.ones_like(p)
+    sb = s[None, :]
 
-    # Static unroll over constraints: Mosaic has no dynamic_slice on values,
-    # and m is a trace-time constant anyway.
-    for j in range(m):
-        pj, qj, rj = p[j:j + 1], q[j:j + 1], r[j:j + 1]   # (1, R)
-        ej, aj = eq[j:j + 1], act[j:j + 1]
-        f_le = _feas_rows(cands, pj, qj, rj - sb, tol)
-        f_hi = _feas_rows(cands, -pj, -qj, -rj - sb, tol)
-        fj = jnp.where(ej > 0, f_le * f_hi, f_le)
-        fj = jnp.where(aj > 0, fj, jnp.ones_like(fj))
-        feas = feas * fj
+    base1, sgn1, a1, b1, es1, cand1 = _canon_leq(p, q, r - sb, tol)
+    base2, sgn2, a2, b2, es2, cand2 = _canon_leq(-p, -q, -r - sb, tol)
+    # the reversed row only exists for equalities; neutralize it elsewhere
+    base2 = jnp.where(eq > 0, base2, one)
+    sgn2 = jnp.where(eq > 0, sgn2, 0.0 * one)
+    cand2 = jnp.where(eq > 0, cand2, jnp.nan)
+    # inactive constraints contribute nothing (old `act` mask semantics)
+    base1 = jnp.where(act > 0, base1, one)
+    sgn1 = jnp.where(act > 0, sgn1, 0.0 * one)
+    base2 = jnp.where(act > 0, base2, one)
+    sgn2 = jnp.where(act > 0, sgn2, 0.0 * one)
+
+    ninf = jnp.full((1, p.shape[1]), -jnp.inf, f32)
+    cands = jnp.concatenate([cand1, cand2, ninf], axis=0)   # (2m+1, R)
+    eps = jnp.where(jnp.isfinite(cands),
+                    5e-7 * (1.0 + jnp.abs(cands)), 0.0)     # (2m+1, R)
+
+    feas = jnp.ones(cands.shape, f32)   # f32 0/1 masks throughout (Mosaic)
+    # Static unroll over the 2m canonical rows: Mosaic has no dynamic_slice
+    # on values, and m is a trace-time constant anyway.
+    for (base, sgn, a, b, es) in ((base1, sgn1, a1, b1, es1),
+                                  (base2, sgn2, a2, b2, es2)):
+        for j in range(m):
+            ej = es[j:j + 1]
+            inb = ((cands >= a[j:j + 1] - ej * eps)
+                   & (cands <= b[j:j + 1] + ej * eps)).astype(f32)
+            feas = feas * (base[j:j + 1] + sgn[j:j + 1] * inb)
 
     feas = feas * (1.0 - jnp.isnan(cands).astype(f32))
     exists = jnp.max(feas, axis=0) > 0.5
