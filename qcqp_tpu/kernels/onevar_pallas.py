@@ -94,43 +94,24 @@ def _canon_leq(p, q, c, tol):
     return base, sgn, a, b, es, cand
 
 
-def feasible_point_rows(p, q, r, eq, act, xk, s, m, tol):
-    """(witness (R,), exists (R,)) at slack row s (R,), block layout (m, R).
-
-    Identical semantics to kernels.onevar.phase1_feasible_point, restructured
-    for lane-major tiles (also used directly by the Pallas kernel body).
-    The per-constraint interval bounds are hoisted out of the candidate loop
-    (the old form recomputed the quadratic formula once per (constraint,
-    candidate) pair — 4x more VPU work at the bench shape).
-    """
+def _feasible_point_from_canon(blocks, xk):
+    """Shared candidate-sweep tail: blocks is a list of canonical-row tuples
+    (base, sgn, a, b, es, cand), each (k_i, R), already neutralized for
+    inactive rows.  Returns (witness (R,), exists (R,))."""
     big = jnp.float32(jnp.inf)
     f32 = jnp.float32
-    one = jnp.ones_like(p)
-    sb = s[None, :]
+    R = xk.shape[0]
 
-    base1, sgn1, a1, b1, es1, cand1 = _canon_leq(p, q, r - sb, tol)
-    base2, sgn2, a2, b2, es2, cand2 = _canon_leq(-p, -q, -r - sb, tol)
-    # the reversed row only exists for equalities; neutralize it elsewhere
-    base2 = jnp.where(eq > 0, base2, one)
-    sgn2 = jnp.where(eq > 0, sgn2, 0.0 * one)
-    cand2 = jnp.where(eq > 0, cand2, jnp.nan)
-    # inactive constraints contribute nothing (old `act` mask semantics)
-    base1 = jnp.where(act > 0, base1, one)
-    sgn1 = jnp.where(act > 0, sgn1, 0.0 * one)
-    base2 = jnp.where(act > 0, base2, one)
-    sgn2 = jnp.where(act > 0, sgn2, 0.0 * one)
-
-    ninf = jnp.full((1, p.shape[1]), -jnp.inf, f32)
-    cands = jnp.concatenate([cand1, cand2, ninf], axis=0)   # (2m+1, R)
+    ninf = jnp.full((1, R), -jnp.inf, f32)
+    cands = jnp.concatenate([blk[5] for blk in blocks] + [ninf], axis=0)
     eps = jnp.where(jnp.isfinite(cands),
-                    5e-7 * (1.0 + jnp.abs(cands)), 0.0)     # (2m+1, R)
+                    5e-7 * (1.0 + jnp.abs(cands)), 0.0)     # (rows+1, R)
 
     feas = jnp.ones(cands.shape, f32)   # f32 0/1 masks throughout (Mosaic)
-    # Static unroll over the 2m canonical rows: Mosaic has no dynamic_slice
-    # on values, and m is a trace-time constant anyway.
-    for (base, sgn, a, b, es) in ((base1, sgn1, a1, b1, es1),
-                                  (base2, sgn2, a2, b2, es2)):
-        for j in range(m):
+    # Static unroll over the canonical rows: Mosaic has no dynamic_slice
+    # on values, and the row counts are trace-time constants anyway.
+    for (base, sgn, a, b, es, _) in blocks:
+        for j in range(base.shape[0]):
             ej = es[j:j + 1]
             inb = ((cands >= a[j:j + 1] - ej * eps)
                    & (cands <= b[j:j + 1] + ej * eps)).astype(f32)
@@ -152,20 +133,65 @@ def feasible_point_rows(p, q, r, eq, act, xk, s, m, tol):
     return witness, exists
 
 
-def _phase1_kernel(p_ref, q_ref, r_ref, eq_ref, act_ref, xk_ref, viol_ref,
-                   v_ref, *, m: int, tol: float, viol_tol: float,
-                   n_bisect: int):
-    p = p_ref[:]          # (m, R)
-    q = q_ref[:]
-    r = r_ref[:]
-    eq = eq_ref[:]        # (m, R) 0/1
-    act = act_ref[:]      # (m, R) 0/1
-    xk = xk_ref[0, :]     # (R,)
-    viol = viol_ref[0, :]
+def feasible_point_rows(p, q, r, eq, act, xk, s, m, tol):
+    """(witness (R,), exists (R,)) at slack row s (R,), block layout (m, R).
 
-    def feasible_point(s):
-        return feasible_point_rows(p, q, r, eq, act, xk, s, m, tol)
+    Identical semantics to kernels.onevar.phase1_feasible_point, restructured
+    for lane-major tiles (also used directly by the Pallas kernel body).
+    The per-constraint interval bounds are hoisted out of the candidate loop
+    (the old form recomputed the quadratic formula once per (constraint,
+    candidate) pair — 4x more VPU work at the bench shape).
+    """
+    one = jnp.ones_like(p)
+    sb = s[None, :]
 
+    base1, sgn1, a1, b1, es1, cand1 = _canon_leq(p, q, r - sb, tol)
+    base2, sgn2, a2, b2, es2, cand2 = _canon_leq(-p, -q, -r - sb, tol)
+    # the reversed row only exists for equalities; neutralize it elsewhere
+    base2 = jnp.where(eq > 0, base2, one)
+    sgn2 = jnp.where(eq > 0, sgn2, 0.0 * one)
+    cand2 = jnp.where(eq > 0, cand2, jnp.nan)
+    # inactive constraints contribute nothing (old `act` mask semantics)
+    base1 = jnp.where(act > 0, base1, one)
+    sgn1 = jnp.where(act > 0, sgn1, 0.0 * one)
+    base2 = jnp.where(act > 0, base2, one)
+    sgn2 = jnp.where(act > 0, sgn2, 0.0 * one)
+
+    return _feasible_point_from_canon(
+        [(base1, sgn1, a1, b1, es1, cand1),
+         (base2, sgn2, a2, b2, es2, cand2)], xk)
+
+
+def feasible_point_rows_split(p, q, r, act, p2, q2, r2, act2, xk, s, tol):
+    """Static-equality-pattern variant of feasible_point_rows.
+
+    The caller has already gathered the E equality rows into the second
+    block (p2, q2, r2, act2: (E, R)), so the reversed rows of inequality
+    constraints — neutralized no-ops in the generic kernel — are skipped
+    structurally: the candidate sweep runs over m+E rows x (m+E+1)
+    candidates instead of 2m x (2m+1) (~1.77x less inner-loop work at the
+    bench's 50% equality mix)."""
+    one = jnp.ones_like(p)
+    sb = s[None, :]
+
+    base1, sgn1, a1, b1, es1, cand1 = _canon_leq(p, q, r - sb, tol)
+    base1 = jnp.where(act > 0, base1, one)
+    sgn1 = jnp.where(act > 0, sgn1, 0.0 * one)
+    blocks = [(base1, sgn1, a1, b1, es1, cand1)]
+
+    if p2 is not None:
+        one2 = jnp.ones_like(p2)
+        base2, sgn2, a2, b2, es2, cand2 = _canon_leq(-p2, -q2, -r2 - sb, tol)
+        base2 = jnp.where(act2 > 0, base2, one2)
+        sgn2 = jnp.where(act2 > 0, sgn2, 0.0 * one2)
+        blocks.append((base2, sgn2, a2, b2, es2, cand2))
+
+    return _feasible_point_from_canon(blocks, xk)
+
+
+def _bisect_accept(feasible_point, xk, viol, tol, viol_tol, n_bisect):
+    """Shared slack-bisection tail of the phase-1 kernels (reference:
+    qcqp/qcqp.py:122-135)."""
     def bis_cond(c):
         ss, es, bx, bs, found, it = c
         # Reduce in f32, not via jnp.any over i1: Mosaic lowers bool
@@ -194,33 +220,104 @@ def _phase1_kernel(p_ref, q_ref, r_ref, eq_ref, act_ref, xk_ref, viol_ref,
     _, _, bx, bs, found, _ = jax.lax.while_loop(bis_cond, bis_body, init)
 
     accept = (found > 0.5) & (bs < viol) & jnp.isfinite(bx)
-    v_ref[0, :] = jnp.where(accept, bx, xk)
+    return jnp.where(accept, bx, xk)
+
+
+def _phase1_kernel(p_ref, q_ref, r_ref, eq_ref, act_ref, xk_ref, viol_ref,
+                   v_ref, *, m: int, tol: float, viol_tol: float,
+                   n_bisect: int):
+    p = p_ref[:]          # (m, R)
+    q = q_ref[:]
+    r = r_ref[:]
+    eq = eq_ref[:]        # (m, R) 0/1
+    act = act_ref[:]      # (m, R) 0/1
+    xk = xk_ref[0, :]     # (R,)
+    viol = viol_ref[0, :]
+
+    def feasible_point(s):
+        return feasible_point_rows(p, q, r, eq, act, xk, s, m, tol)
+
+    v_ref[0, :] = _bisect_accept(feasible_point, xk, viol, tol, viol_tol,
+                                 n_bisect)
+
+
+def _phase1_kernel_split(*refs, e: int, tol: float, viol_tol: float,
+                         n_bisect: int):
+    """Static-equality-pattern kernel: inequality rows appear once, the E
+    equality rows (pre-gathered by the wrapper) carry their reversed block."""
+    if e:
+        (p_ref, q_ref, r_ref, act_ref, p2_ref, q2_ref, r2_ref, act2_ref,
+         xk_ref, viol_ref, v_ref) = refs
+        p2, q2, r2, act2 = p2_ref[:], q2_ref[:], r2_ref[:], act2_ref[:]
+    else:
+        p_ref, q_ref, r_ref, act_ref, xk_ref, viol_ref, v_ref = refs
+        p2 = q2 = r2 = act2 = None
+    p = p_ref[:]          # (m, R)
+    q = q_ref[:]
+    r = r_ref[:]
+    act = act_ref[:]      # (m, R) 0/1
+    xk = xk_ref[0, :]     # (R,)
+    viol = viol_ref[0, :]
+
+    def feasible_point(s):
+        return feasible_point_rows_split(p, q, r, act, p2, q2, r2, act2,
+                                         xk, s, tol)
+
+    v_ref[0, :] = _bisect_accept(feasible_point, xk, viol, tol, viol_tol,
+                                 n_bisect)
 
 
 def phase1_coordinate_update(p, q, r, is_eq, active, xk, viol,
                              tol=DEFAULT_TOL, viol_tol=1e-2, n_bisect=40,
-                             interpret=False):
+                             interpret=False, eq_idx=None):
     """Fused phase-1 coordinate solve for a restart batch.
 
     p, q, r, is_eq, active: (m, R); xk, viol: (R,). R must be a multiple of
     128 (the caller pads the restart batch). Returns v (R,).
+
+    eq_idx: optional static tuple of the equality-constraint row indices.
+    When given, the kernel skips the structurally neutralized reversed rows
+    of inequality constraints (the generic kernel computes and masks them),
+    and `is_eq` is ignored.  Semantics are identical for row-constant
+    equality masks; `eq_idx=None` keeps the fully data-dependent path.
     """
     m, R = p.shape
     grid = R // LANES
-    kernel = functools.partial(_phase1_kernel, m=m, tol=tol,
-                               viol_tol=viol_tol, n_bisect=n_bisect)
     f32 = jnp.float32
     spec_m = pl.BlockSpec((m, LANES), lambda i: (0, i))
     spec_1 = pl.BlockSpec((1, LANES), lambda i: (0, i))
+
+    if eq_idx is None:
+        kernel = functools.partial(_phase1_kernel, m=m, tol=tol,
+                                   viol_tol=viol_tol, n_bisect=n_bisect)
+        in_specs = [spec_m] * 5 + [spec_1, spec_1]
+        inputs = (p.astype(f32), q.astype(f32), r.astype(f32),
+                  is_eq.astype(f32), active.astype(f32),
+                  xk.astype(f32)[None, :], viol.astype(f32)[None, :])
+    else:
+        eq_idx = tuple(int(i) for i in eq_idx)
+        e = len(eq_idx)
+        kernel = functools.partial(_phase1_kernel_split, e=e, tol=tol,
+                                   viol_tol=viol_tol, n_bisect=n_bisect)
+        inputs = (p.astype(f32), q.astype(f32), r.astype(f32),
+                  active.astype(f32))
+        in_specs = [spec_m] * 4
+        if e:
+            idx = jnp.asarray(eq_idx)   # gather outside the kernel (XLA)
+            spec_e = pl.BlockSpec((e, LANES), lambda i: (0, i))
+            inputs += (p[idx].astype(f32), q[idx].astype(f32),
+                       r[idx].astype(f32), active[idx].astype(f32))
+            in_specs += [spec_e] * 4
+        inputs += (xk.astype(f32)[None, :], viol.astype(f32)[None, :])
+        in_specs += [spec_1, spec_1]
+
     with jax.enable_x64(False):
         v = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[spec_m, spec_m, spec_m, spec_m, spec_m, spec_1, spec_1],
+            in_specs=in_specs,
             out_specs=spec_1,
             out_shape=jax.ShapeDtypeStruct((1, R), f32),
             interpret=interpret,
-        )(p.astype(f32), q.astype(f32), r.astype(f32),
-          is_eq.astype(f32), active.astype(f32),
-          xk.astype(f32)[None, :], viol.astype(f32)[None, :])
+        )(*inputs)
     return v[0]

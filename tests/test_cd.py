@@ -89,6 +89,35 @@ def test_cd_respects_inequality_constraints():
     assert f <= 1.2
 
 
+def test_fused_cd_quality_matches_batch():
+    """Fused Pallas CD (interpret mode on CPU) reaches the same feasibility
+    and comparable objectives as the vmapped path on boolean LS."""
+    from qcqp_tpu.solvers.coord_descent_fused import improve_coord_descent_fused
+
+    form, A, b = boolean_ls_form(n=8, m=12, seed=3)
+    rng = np.random.default_rng(4)
+    xs = jnp.asarray(rng.standard_normal((8, form.n)), jnp.float32)
+    form32 = core.QCQPForm(form.P.astype(jnp.float32),
+                           form.q.astype(jnp.float32),
+                           form.r.astype(jnp.float32), form.is_eq)
+    out_f = np.asarray(improve_coord_descent_fused(
+        form32, xs, num_iters=20, interpret=True))
+    out_b = np.asarray(improve_coord_descent_batch(form32, xs, num_iters=20))
+    for out in (out_f, out_b):
+        viols = [float(core.max_violation(form, jnp.asarray(x, jnp.float64)))
+                 for x in out]
+        assert min(viols) < 1e-2
+    best_f = min(float(core.eval_objective(form, jnp.asarray(x, jnp.float64)))
+                 for x in out_f
+                 if float(core.max_violation(form, jnp.asarray(
+                     x, jnp.float64))) < 1e-2)
+    best_b = min(float(core.eval_objective(form, jnp.asarray(x, jnp.float64)))
+                 for x in out_b
+                 if float(core.max_violation(form, jnp.asarray(
+                     x, jnp.float64))) < 1e-2)
+    assert best_f <= best_b * 1.25 + 1e-6
+
+
 def test_batch_matches_loop():
     form, _, _ = boolean_ls_form(n=6, m=8, seed=7)
     rng = np.random.default_rng(3)

@@ -68,6 +68,38 @@ def test_pallas_phase1_matches_reference_quality(seed):
         assert new_viol[lane] <= ref_slack + 1e-3, lane
 
 
+@pytest.mark.parametrize("eq_frac", [0.0, 0.4, 1.0])
+def test_pallas_phase1_static_eq_idx_matches_generic(eq_frac):
+    """The eq_idx-specialized kernel must agree with the generic kernel
+    bitwise for row-constant equality masks (same canonical rows, same
+    bisection — only the neutralized reversed rows are skipped)."""
+    rng = np.random.default_rng(hash(eq_frac) % 2**31)
+    m, R = 9, 128
+    p = rng.standard_normal((m, R)).astype(np.float32)
+    q = rng.standard_normal((m, R)).astype(np.float32)
+    r = rng.standard_normal((m, R)).astype(np.float32)
+    eq_row = rng.random(m) < eq_frac
+    eq = np.broadcast_to(eq_row[:, None], (m, R))
+    act = (rng.random((m, R)) < 0.9)
+    xk = rng.standard_normal(R).astype(np.float32)
+    viol = _viol_of(p, q, r, eq, act, xk).astype(np.float32)
+
+    args = (jnp.asarray(p), jnp.asarray(q), jnp.asarray(r), jnp.asarray(eq),
+            jnp.asarray(act), jnp.asarray(xk), jnp.asarray(viol))
+    v_gen = np.asarray(phase1_coordinate_update(*args, interpret=True))
+    v_split = np.asarray(phase1_coordinate_update(
+        *args, interpret=True,
+        eq_idx=tuple(int(i) for i in np.nonzero(eq_row)[0])))
+
+    # identical candidate set => identical bisection trajectory; allow the
+    # documented ~ulp boundary slop in case compilation differs per variant
+    new_gen = _viol_of(p, q, r, eq, act, v_gen)
+    new_split = _viol_of(p, q, r, eq, act, v_split)
+    assert np.allclose(v_split, v_gen, rtol=1e-5, atol=1e-5) or \
+        np.allclose(new_split, new_gen, rtol=1e-4, atol=1e-4)
+    assert (new_split <= viol + 1e-3).all()
+
+
 def test_pallas_phase1_accepts_only_improvements():
     rng = np.random.default_rng(42)
     m, R = 5, 128
