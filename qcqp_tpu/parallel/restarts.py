@@ -88,15 +88,30 @@ def improve_chain(form: QCQPForm, xs: jax.Array,
     eigh = None
     for method in methods:
         if method == s.COORD_DESCENT:
-            # batched (not vmap of the single-restart improve): vmapping its
-            # phase-2 lax.cond broadcasts form.P per restart
-            from ..solvers.coord_descent import improve_coord_descent_batch
-            xs = improve_coord_descent_batch(
-                form, xs,
-                num_iters=kwargs.get("num_iters", 1000),
-                viol_tol=kwargs.get("viol_tol", 1e-2),
-                tol=kwargs.get("tol", 1e-4),
-                phase1=kwargs.get("phase1", True))
+            if kwargs.get("use_fused", False):
+                # Pallas fused/mega phase-1 kernel (f32, single device):
+                # not used under a mesh — a pallas_call has no SPMD
+                # partitioning rule, so a sharded operand would be gathered.
+                from ..solvers.coord_descent_fused import (
+                    improve_coord_descent_fused)
+                xs = improve_coord_descent_fused(
+                    form, xs,
+                    num_iters=kwargs.get("num_iters", 1000),
+                    viol_tol=kwargs.get("viol_tol", 1e-2),
+                    tol=kwargs.get("tol", 1e-4),
+                    phase1=kwargs.get("phase1", True),
+                    eq_idx=kwargs.get("eq_idx", None),
+                    interpret=kwargs.get("interpret", False))
+            else:
+                # batched (not vmap of the single-restart improve): vmapping
+                # its phase-2 lax.cond broadcasts form.P per restart
+                from ..solvers.coord_descent import improve_coord_descent_batch
+                xs = improve_coord_descent_batch(
+                    form, xs,
+                    num_iters=kwargs.get("num_iters", 1000),
+                    viol_tol=kwargs.get("viol_tol", 1e-2),
+                    tol=kwargs.get("tol", 1e-4),
+                    phase1=kwargs.get("phase1", True))
         elif method == s.ADMM:
             if eigh is None:
                 eigh = precompute_eigh(form)
@@ -161,6 +176,18 @@ def solve_restarts(form: QCQPForm, num_restarts: int, key: jax.Array,
         ndev = int(np.prod(list(mesh.shape.values())))
     # pad restarts to a multiple of the device count
     num_padded = -(-num_restarts // ndev) * ndev
+
+    # Fused Pallas CD on single-device accelerator runs (f32 forms): the
+    # static eq pattern is lifted here, where the form is still concrete.
+    if ("use_fused" not in kwargs and mesh is None
+            and jax.default_backend() != "cpu"
+            and form.P.dtype == jnp.float32):
+        kwargs["use_fused"] = True
+        try:
+            kwargs.setdefault("eq_idx", tuple(
+                int(i) for i in np.nonzero(np.asarray(form.is_eq))[0]))
+        except Exception:
+            pass
 
     if mesh is not None:
         axis = list(mesh.shape.keys())[0]

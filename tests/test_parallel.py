@@ -53,6 +53,23 @@ def test_solve_restarts_unsharded():
     assert float(f) <= best * 1.05 + 1e-9
 
 
+def test_solve_restarts_fused_path():
+    """use_fused routes CD through the Pallas kernel (interpret on CPU) and
+    still reaches the boolean-LS optimum region."""
+    form, A, b = boolean_ls_form(n=8, m=12, seed=3)
+    form32 = core.QCQPForm(form.P.astype(jnp.float32),
+                           form.q.astype(jnp.float32),
+                           form.r.astype(jnp.float32), form.is_eq)
+    eq_idx = tuple(int(i) for i in np.nonzero(np.asarray(form.is_eq))[0])
+    x, f, v = solve_restarts(form32, 128, jax.random.PRNGKey(0),
+                             use_fused=True, eq_idx=eq_idx, interpret=True,
+                             num_iters=30)
+    assert float(v) < 1e-2
+    x_ref, f_ref, v_ref = solve_restarts(form32, 128, jax.random.PRNGKey(0),
+                                         use_fused=False, num_iters=30)
+    assert float(f) <= float(f_ref) * 1.1 + 1e-6
+
+
 def test_solve_restarts_sharded_matches_unsharded():
     form, _, _ = boolean_ls_form(n=6, m=9, seed=4)
     mesh = make_mesh()
