@@ -201,7 +201,20 @@ def solve_restarts(form: QCQPForm, num_restarts: int, key: jax.Array,
             # Shard the restart axis; the best_point reduction then lowers to
             # cross-device collectives over ICI.
             xs = jax.lax.with_sharding_constraint(xs, restart_sharding)
-        xs = improve_chain(form, xs, improve, **kwargs)
+        if mesh is not None and kwargs.get("use_fused", False):
+            # pallas_call has no SPMD partitioning rule, so the fused kernel
+            # is mapped per shard: each device runs its own pallas_call on
+            # its local restart tile (restarts are independent; no
+            # collectives inside the chain).
+            from jax import shard_map
+            local = lambda f, xs_l: improve_chain(f, xs_l, improve, **kwargs)
+            # check_vma=False: pallas_call out_shapes carry no varying-mesh
+            # annotation, so the vma checker rejects them.
+            xs = shard_map(local, mesh=mesh,
+                           in_specs=(P(), P(axis)),
+                           out_specs=P(axis), check_vma=False)(form, xs)
+        else:
+            xs = improve_chain(form, xs, improve, **kwargs)
         return best_point(form, xs, better_tol)
 
     if mesh is None:

@@ -70,6 +70,23 @@ def test_solve_restarts_fused_path():
     assert float(f) <= float(f_ref) * 1.1 + 1e-6
 
 
+def test_solve_restarts_fused_sharded():
+    """Mesh + use_fused maps the Pallas chain per shard (shard_map) and
+    matches the unsharded fused run's best point quality."""
+    form, A, b = boolean_ls_form(n=8, m=12, seed=3)
+    form32 = core.QCQPForm(form.P.astype(jnp.float32),
+                           form.q.astype(jnp.float32),
+                           form.r.astype(jnp.float32), form.is_eq)
+    eq_idx = tuple(int(i) for i in np.nonzero(np.asarray(form.is_eq))[0])
+    kw = dict(use_fused=True, eq_idx=eq_idx, interpret=True, num_iters=30)
+    key = jax.random.PRNGKey(2)
+    x0, f0, v0 = solve_restarts(form32, 256, key, **kw)
+    x1, f1, v1 = solve_restarts(form32, 256, key, mesh=make_mesh(), **kw)
+    assert float(v1) < 1e-2
+    # same suggest keys; sharding must not change the best point
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1), atol=1e-6)
+
+
 def test_solve_restarts_sharded_matches_unsharded():
     form, _, _ = boolean_ls_form(n=6, m=9, seed=4)
     mesh = make_mesh()
