@@ -94,18 +94,14 @@ def _canon_leq(p, q, c, tol):
     return base, sgn, a, b, es, cand
 
 
-def _feasible_point_from_canon(blocks, xk):
-    """Shared candidate-sweep tail: blocks is a list of canonical-row tuples
-    (base, sgn, a, b, es, cand), each (k_i, R), already neutralized for
-    inactive rows.  Returns (witness (R,), exists (R,))."""
-    big = jnp.float32(jnp.inf)
+def feas_matrix_from_canon(blocks, cands):
+    """Feasibility (f32 0/1, same shape as cands) of each candidate against
+    every canonical row.  blocks is a list of canonical-row tuples
+    (base, sgn, a, b, es, _), each (k_i, R), already neutralized for
+    inactive rows; cands is (C, R) with NaN marking 'no candidate'."""
     f32 = jnp.float32
-    R = xk.shape[0]
-
-    ninf = jnp.full((1, R), -jnp.inf, f32)
-    cands = jnp.concatenate([blk[5] for blk in blocks] + [ninf], axis=0)
     eps = jnp.where(jnp.isfinite(cands),
-                    5e-7 * (1.0 + jnp.abs(cands)), 0.0)     # (rows+1, R)
+                    5e-7 * (1.0 + jnp.abs(cands)), 0.0)     # (C, R)
 
     feas = jnp.ones(cands.shape, f32)   # f32 0/1 masks throughout (Mosaic)
     # Static unroll over the canonical rows: Mosaic has no dynamic_slice
@@ -117,7 +113,20 @@ def _feasible_point_from_canon(blocks, xk):
                    & (cands <= b[j:j + 1] + ej * eps)).astype(f32)
             feas = feas * (base[j:j + 1] + sgn[j:j + 1] * inb)
 
-    feas = feas * (1.0 - jnp.isnan(cands).astype(f32))
+    return feas * (1.0 - jnp.isnan(cands).astype(f32))
+
+
+def _feasible_point_from_canon(blocks, xk):
+    """Shared candidate-sweep tail: blocks is a list of canonical-row tuples
+    (base, sgn, a, b, es, cand), each (k_i, R), already neutralized for
+    inactive rows.  Returns (witness (R,), exists (R,))."""
+    big = jnp.float32(jnp.inf)
+    f32 = jnp.float32
+    R = xk.shape[0]
+
+    ninf = jnp.full((1, R), -jnp.inf, f32)
+    cands = jnp.concatenate([blk[5] for blk in blocks] + [ninf], axis=0)
+    feas = feas_matrix_from_canon(blocks, cands)
     exists = jnp.max(feas, axis=0) > 0.5
     dist = jnp.where(feas > 0.5, jnp.abs(cands - xk[None, :]), big)
     dist = jnp.where(jnp.isnan(dist), big, dist)

@@ -169,12 +169,18 @@ def _improve_cd_fused(form: QCQPForm, xs, num_iters=1000,
     R_pad = -(-R // LANES) * LANES
     xs_p = jnp.pad(xs, ((0, R_pad - R), (0, 0))) if R_pad != R else xs
 
-    if phase1 and mega and eq_idx is not None:
-        from ..kernels.cd_sweep_pallas import phase1_sweeps
-        xs_p = phase1_sweeps(form.P, form.q, form.r, eq_idx, xs_p,
-                             num_iters=num_iters, viol_tol=viol_tol, tol=tol,
-                             interpret=interpret).astype(xs_p.dtype)
-    elif phase1:
+    if mega and eq_idx is not None:
+        # Whole two-phase improve in one pallas_call: phase 1, the per-lane
+        # feasibility gate, and phase 2 all stay in VMEM (no XLA phase-2
+        # segment dragging the (R, m+1, n) gradient cache through HBM per
+        # coordinate).
+        from ..kernels.cd_sweep_pallas import two_phase_sweeps
+        xs_p = two_phase_sweeps(form.P, form.q, form.r, eq_idx, xs_p,
+                                num_iters=num_iters, viol_tol=viol_tol,
+                                tol=tol, phase1=phase1,
+                                interpret=interpret).astype(xs_p.dtype)
+        return xs_p[:R]
+    if phase1:
         xs_p = coord_descent_phase1_fused(form, xs_p, num_iters, viol_tol,
                                           tol, interpret, eq_idx)
     from ..core import max_violation

@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import pytest
 
 from qcqp_tpu.core import QCQPForm, max_violation
-from qcqp_tpu.kernels.cd_sweep_pallas import phase1_sweeps
+from qcqp_tpu.kernels.cd_sweep_pallas import phase1_sweeps, two_phase_sweeps
+from qcqp_tpu.solvers.coord_descent import improve_coord_descent_batch
 from qcqp_tpu.solvers.coord_descent_fused import coord_descent_phase1_fused
 
 
@@ -67,3 +68,71 @@ def test_mega_feasible_start_untouched():
     out = phase1_sweeps(form.P, form.q, form.r, eq_idx, xs, num_iters=5,
                         interpret=True)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=0)
+
+
+def _objs(form, xs):
+    return np.asarray(jax.vmap(
+        lambda x: x @ form.P[0] @ x + form.q[0] @ x + form.r[0])(xs))
+
+
+@pytest.mark.parametrize("n,m,eq_frac,seed",
+                         [(12, 7, 0.5, 0), (9, 5, 0.0, 1), (10, 4, 1.0, 2)])
+def test_two_phase_matches_unfused_quality(n, m, eq_frac, seed):
+    """Whole two-phase kernel is statistically on par with the unfused
+    batched CD: same feasible fraction and best feasible objective (identical
+    acceptance rules; trajectories may diverge at ulp-tangency oracles)."""
+    form, eq_idx, rng = _random_form(n, m, seed, eq_frac)
+    R = 128
+    xs = jnp.asarray(rng.standard_normal((R, n)), jnp.float32)
+
+    x_ref = improve_coord_descent_batch(form, xs, num_iters=10)
+    x_new = two_phase_sweeps(form.P, form.q, form.r, eq_idx, xs,
+                             num_iters=10, interpret=True)
+    v_ref, v_new = _viols(form, x_ref), _viols(form, x_new)
+    o_ref, o_new = _objs(form, x_ref), _objs(form, x_new)
+    feas_ref, feas_new = v_ref < 1e-2, v_new < 1e-2
+    assert feas_new.mean() >= feas_ref.mean() - 0.05
+    if feas_ref.any() and feas_new.any():
+        scale = 1.0 + abs(float(o_ref[feas_ref].min()))
+        assert (o_new[feas_new].min()
+                <= o_ref[feas_ref].min() + 0.05 * scale)
+
+
+def test_two_phase_skip_phase1():
+    """phase1=False descends the objective from an already feasible point
+    without a feasibility pass (reference improve's phase1 kwarg)."""
+    form, eq_idx, rng = _random_form(10, 5, 7, eq_frac=0.0)
+    # loosen inequalities so x ~ 0 region is feasible; make the objective
+    # strongly convex so the descent stays bounded (f32 drift at |x| >> 1
+    # would otherwise defeat the from-scratch violation check below)
+    P, q, r = (np.array(form.P), np.array(form.q), np.array(form.r))
+    r[1:] = r[1:] - 5.0
+    P[0] = P[0] + 3.0 * np.eye(10)
+    form = QCQPForm(jnp.asarray(P), jnp.asarray(q), jnp.asarray(r),
+                    form.is_eq)
+    xs = jnp.asarray(0.01 * rng.standard_normal((128, 10)), jnp.float32)
+    v0 = _viols(form, xs)
+    assert (v0 < 1e-2).all()
+    out = two_phase_sweeps(form.P, form.q, form.r, eq_idx, xs,
+                           num_iters=10, phase1=False, interpret=True)
+    o0, o1 = _objs(form, xs), _objs(form, out)
+    v1 = _viols(form, out)
+    # objective never increases; violations stay within the entry slack
+    assert (o1 <= o0 + 1e-4).all()
+    assert (v1 < 1e-2 + 1e-4).all()
+    assert np.median(o1) < np.median(o0) - 0.1
+
+
+def test_two_phase_infeasible_lanes_gated():
+    """Lanes that end phase 1 above viol_tol never enter phase 2."""
+    form, eq_idx, rng = _random_form(8, 4, 9, eq_frac=1.0)
+    xs = jnp.asarray(10.0 + rng.standard_normal((128, 8)), jnp.float32)
+    x1 = phase1_sweeps(form.P, form.q, form.r, eq_idx, xs, num_iters=3,
+                       interpret=True)
+    x2 = two_phase_sweeps(form.P, form.q, form.r, eq_idx, xs, num_iters=3,
+                          interpret=True)
+    v1 = _viols(form, x1)
+    bad = v1 >= 1e-2
+    if bad.any():
+        np.testing.assert_allclose(np.asarray(x2)[bad], np.asarray(x1)[bad],
+                                   atol=0)
