@@ -26,26 +26,26 @@ cons = [qt.square(x) == 1]
 prob = qt.Problem(qt.Minimize(obj), cons)
 qcqp = qt.QCQP(prob)
 
-# sample from the semidefinite relaxation
+# Gaussian-round a candidate from the Shor relaxation
 qcqp.suggest(qt.SDR)
-print("SDR lower bound: %.3f" % qcqp.sdr_bound)
+print("Lower bound from the Shor relaxation: %.3f" % qcqp.sdr_bound)
 
 f_cd, v_cd = qcqp.improve(qt.COORD_DESCENT)
 x_cd = x.value
-print("Coordinate descent: objective %.3f, violation %.3f" % (f_cd, v_cd))
+print("coord-descent    f=%.3f  maxviol=%.3f" % (f_cd, v_cd))
 
-# SDR solution is cached and not solved again
+# the handler keeps the relaxation solution around, so this only re-samples
 qcqp.suggest(qt.SDR)
 f_dccp, v_dccp = qcqp.improve(qt.DCCP)
-print("Penalty CCP: objective %.3f, violation %.3f" % (f_dccp, v_dccp))
+print("penalty-CCP      f=%.3f  maxviol=%.3f" % (f_dccp, v_dccp))
 f_dccp, v_dccp = qcqp.improve(qt.COORD_DESCENT, phase1=False)
-print("Penalty CCP + coordinate descent: objective %.3f, violation %.3f"
+print("penalty-CCP then coord-descent   f=%.3f  maxviol=%.3f"
       % (f_dccp, v_dccp))
 
 qcqp.suggest(qt.SDR)
 f_admm, v_admm = qcqp.improve(qt.COORD_DESCENT)
 f_admm, v_admm = qcqp.improve(qt.ADMM, phase1=False)
-print("Coordinate descent + nonconvex ADMM: objective %.3f, violation %.3f"
+print("coord-descent then consensus-ADMM   f=%.3f  maxviol=%.3f"
       % (f_admm, v_admm))
 
 # TPU-native extra: 256 SDR-sampled restarts in one batched solve

@@ -31,15 +31,15 @@ prob = qt.Problem(qt.Maximize(obj), cons)
 qcqp = qt.QCQP(prob)
 
 qcqp.suggest(qt.SDR)
-print("SDR-based upper bound: %.3f" % qcqp.sdr_bound)
+print("Upper bound from the Shor relaxation: %.3f" % qcqp.sdr_bound)
 
 f_cd, v_cd = qcqp.improve(qt.COORD_DESCENT)
-print("Coordinate descent: objective %.3f, violation %.3f" % (f_cd, v_cd))
+print("coord-descent    f=%.3f  maxviol=%.3f" % (f_cd, v_cd))
 
 qcqp.suggest(qt.SDR)
 f_dccp, v_dccp = qcqp.improve(qt.DCCP, tau=1)
-print("Penalty CCP: objective %.3f, violation %.3f" % (f_dccp, v_dccp))
+print("penalty-CCP      f=%.3f  maxviol=%.3f" % (f_dccp, v_dccp))
 
 qcqp.suggest(qt.SDR)
 f_admm, v_admm = qcqp.improve(qt.ADMM)
-print("Nonconvex ADMM: objective %.3f, violation %.3f" % (f_admm, v_admm))
+print("consensus-ADMM   f=%.3f  maxviol=%.3f" % (f_admm, v_admm))

@@ -44,16 +44,16 @@ prob = qt.Problem(obj, cons)
 qcqp = qt.QCQP(prob)
 
 qcqp.suggest(qt.SDR)
-print("SDR-based lower bound: %.3f" % qcqp.sdr_bound)
+print("Lower bound from the Shor relaxation: %.3f" % qcqp.sdr_bound)
 
 f_dccp, v_dccp = qcqp.improve(qt.DCCP)
-print("Penalty CCP: objective %.3f, violation %.3f" % (f_dccp, v_dccp))
+print("penalty-CCP      f=%.3f  maxviol=%.3f" % (f_dccp, v_dccp))
 
 qcqp.suggest(qt.SDR)
 f, v = qcqp.improve(qt.COORD_DESCENT)
-print("Coordinate descent: objective %.3f, violation %.3f" % (f, v))
+print("coord-descent    f=%.3f  maxviol=%.3f" % (f, v))
 f, v = qcqp.improve(qt.ADMM, rho=np.sqrt(m + l))
-print("Coordinate descent + ADMM: objective %.3f, violation %.3f" % (f, v))
+print("coord-descent then consensus-ADMM   f=%.3f  maxviol=%.3f" % (f, v))
 f, v = qcqp.improve(qt.COORD_DESCENT, phase1=False)
 print("Coordinate descent + ADMM + coordinate descent: "
       "objective %.3f, violation %.3f" % (f, v))

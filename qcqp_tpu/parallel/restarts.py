@@ -35,6 +35,14 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "r") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def _fused_default(form: QCQPForm) -> bool:
+    """Whether solve_restarts routes CD through the fused Pallas kernel when
+    the caller didn't choose: accelerator backend + f32 form.  Factored out
+    so tests can exercise the auto-on decision on the CPU mesh."""
+    return (jax.default_backend() != "cpu"
+            and form.P.dtype == jnp.float32)
+
+
 def best_point(form: QCQPForm, xs: jax.Array, tol: float = 1e-4):
     """Lexicographic (viol bucket, objective) argmin over the restart axis.
 
@@ -89,9 +97,10 @@ def improve_chain(form: QCQPForm, xs: jax.Array,
     for method in methods:
         if method == s.COORD_DESCENT:
             if kwargs.get("use_fused", False):
-                # Pallas fused/mega phase-1 kernel (f32, single device):
-                # not used under a mesh — a pallas_call has no SPMD
-                # partitioning rule, so a sharded operand would be gathered.
+                # Pallas fused/mega phase-1 kernel (f32).  Under a mesh,
+                # solve_restarts wraps this call in shard_map (a pallas_call
+                # has no SPMD partitioning rule), so here xs is always the
+                # local shard.
                 from ..solvers.coord_descent_fused import (
                     improve_coord_descent_fused)
                 xs = improve_coord_descent_fused(
@@ -129,11 +138,20 @@ def improve_chain(form: QCQPForm, xs: jax.Array,
             xs = jax.vmap(fn)(xs)
         elif method == s.DCCP:
             from ..solvers.ccp import improve_ccp
-            fn = lambda x: improve_ccp(form, x, tau=kwargs.get("tau", 0.005))
+            # Same filtered forwarding as QCQP._improve_one (api.py:146-154):
+            # a chained solve(improve=[DCCP, ...], max_iter=...) must reach
+            # the CCP stage, not silently drop.
+            ccp_kw = {k: v for k, v in kwargs.items()
+                      if k in ("max_iter", "mu", "tau_max", "inner_iters",
+                               "use_eigen_split")}
+            fn = lambda x: improve_ccp(form, x, tau=kwargs.get("tau", 0.005),
+                                       **ccp_kw)
             xs = jax.vmap(fn)(xs)
         elif method == s.IPOPT:
             from ..solvers.nlp import improve_nlp
-            fn = lambda x: improve_nlp(form, x)
+            nlp_kw = {k: v for k, v in kwargs.items()
+                      if k in ("num_outer", "num_inner", "mu0")}
+            fn = lambda x: improve_nlp(form, x, **nlp_kw)
             xs = jax.vmap(fn)(xs)
         else:
             raise ValueError(f"Unknown improve method: {method}")
@@ -177,11 +195,10 @@ def solve_restarts(form: QCQPForm, num_restarts: int, key: jax.Array,
     # pad restarts to a multiple of the device count
     num_padded = -(-num_restarts // ndev) * ndev
 
-    # Fused Pallas CD on single-device accelerator runs (f32 forms): the
+    # Fused Pallas CD on accelerator f32 runs — single device AND mesh runs
+    # (the mesh path maps the kernel per shard via shard_map below); the
     # static eq pattern is lifted here, where the form is still concrete.
-    if ("use_fused" not in kwargs and mesh is None
-            and jax.default_backend() != "cpu"
-            and form.P.dtype == jnp.float32):
+    if "use_fused" not in kwargs and _fused_default(form):
         kwargs["use_fused"] = True
         try:
             kwargs.setdefault("eq_idx", tuple(

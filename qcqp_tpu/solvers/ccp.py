@@ -22,8 +22,12 @@ Here the whole procedure is jitted JAX:
     (f2 - lin f1 <= 0).  For uniform (jit-static) shapes every constraint
     gets both direction blocks, with the negative block inert for
     inequalities;
-  * tau grows by mu each iteration up to tau_max (the DCCP package's
-    schedule and defaults: tau=0.005, mu=1.2, tau_max=1e8).
+  * tau grows by mu each iteration up to tau_max.  Defaults follow the DCCP
+    package (tau=0.005, tau_max=1e8) except mu=1.4 instead of DCCP's 1.2 —
+    a deliberate deviation: with the fixed 60-iteration jitted schedule the
+    faster growth reaches the feasibility-enforcing tau range the package's
+    unbounded Python loop reaches with mu=1.2 (pinned by the golden-example
+    tests, tests/test_api_examples.py).
 
 The result is folded in with `better` like the reference does on DCCP
 convergence (qcqp.py:318-319).

@@ -87,6 +87,81 @@ def test_solve_restarts_fused_sharded():
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x1), atol=1e-6)
 
 
+def test_fused_auto_on_under_mesh(monkeypatch):
+    """With an accelerator-like _fused_default, solve_restarts(mesh=...)
+    engages the fused CD path automatically (no explicit use_fused=True) —
+    ROADMAP 5b / VERDICT r1 item 5."""
+    from qcqp_tpu.parallel import restarts as rmod
+    form, _, _ = boolean_ls_form(n=8, m=12, seed=3)
+    form32 = core.QCQPForm(form.P.astype(jnp.float32),
+                           form.q.astype(jnp.float32),
+                           form.r.astype(jnp.float32), form.is_eq)
+    monkeypatch.setattr(rmod, "_fused_default", lambda form: True)
+
+    import qcqp_tpu.solvers.coord_descent_fused as cdf
+    calls = []
+    orig = cdf.improve_coord_descent_fused
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(cdf, "improve_coord_descent_fused", spy)
+    x, f, v = solve_restarts(form32, 128, jax.random.PRNGKey(0),
+                             mesh=make_mesh(), interpret=True, num_iters=10)
+    assert calls, "fused kernel was not engaged under the mesh"
+    assert float(v) < 1e-2
+
+
+def test_fused_sharded_padding_edges(monkeypatch):
+    """Restart counts that are neither device- nor lane-multiples pad
+    correctly through the shard_map + in-kernel padding layers."""
+    form, _, _ = boolean_ls_form(n=6, m=9, seed=7)
+    form32 = core.QCQPForm(form.P.astype(jnp.float32),
+                           form.q.astype(jnp.float32),
+                           form.r.astype(jnp.float32), form.is_eq)
+    eq_idx = tuple(int(i) for i in np.nonzero(np.asarray(form.is_eq))[0])
+    kw = dict(use_fused=True, eq_idx=eq_idx, interpret=True, num_iters=5)
+    for R in (1, 7, 130):   # 1 restart; sub-device; over one lane tile
+        x, f, v = solve_restarts(form32, R, jax.random.PRNGKey(R),
+                                 mesh=make_mesh(), **kw)
+        assert np.asarray(x).shape == (form.n,)
+        assert np.isfinite(float(f))
+
+
+def test_improve_chain_forwards_stage_kwargs(monkeypatch):
+    """Chained improve forwards the filtered kwargs to the DCCP and IPOPT
+    stages like QCQP._improve_one does (VERDICT r1 item 6)."""
+    form, _, _ = boolean_ls_form(n=4, m=6, seed=9)
+    xs = jnp.asarray(np.random.default_rng(0).standard_normal((2, form.n)))
+
+    seen = {}
+
+    import qcqp_tpu.solvers.ccp as ccp_mod
+    import qcqp_tpu.solvers.nlp as nlp_mod
+
+    def fake_ccp(form, x, **kw):
+        seen.setdefault("ccp", kw)
+        return x
+
+    def fake_nlp(form, x, **kw):
+        seen.setdefault("nlp", kw)
+        return x
+
+    monkeypatch.setattr(ccp_mod, "improve_ccp", fake_ccp)
+    monkeypatch.setattr(nlp_mod, "improve_nlp", fake_nlp)
+    improve_chain(form, xs, [qt.DCCP, qt.IPOPT],
+                  max_iter=7, tau=0.1, inner_iters=11,
+                  num_outer=3, mu0=2.0, rho=99.0)
+    assert seen["ccp"]["max_iter"] == 7
+    assert seen["ccp"]["tau"] == 0.1
+    assert seen["ccp"]["inner_iters"] == 11
+    assert "rho" not in seen["ccp"]          # foreign kwargs filtered out
+    assert seen["nlp"]["num_outer"] == 3
+    assert seen["nlp"]["mu0"] == 2.0
+    assert "tau" not in seen["nlp"]
+
+
 def test_solve_restarts_sharded_matches_unsharded():
     form, _, _ = boolean_ls_form(n=6, m=9, seed=4)
     mesh = make_mesh()
