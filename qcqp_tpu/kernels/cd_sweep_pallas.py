@@ -132,7 +132,21 @@ def _phase1_loop(x0, ctx, *, n: int, m: int, eq_idx: tuple, num_iters: int,
             return feasible_point_rows_split(t2c, t1c, t0c, act, p2, q2, r2,
                                              act2, xk, s, tol)
 
-        v = _bisect_accept(feasible_point, xk, viol, tol, viol_tol, n_bisect)
+        def viol_of(v):
+            vb = v[None, :]
+            val = (t2c * vb + t1c) * vb + t0c
+            w = jnp.max(jnp.where(act > 0.5, jnp.maximum(val, 0.0), 0.0),
+                        axis=0)
+            if e:
+                val2 = (p2 * vb + q2) * vb + r2
+                w2 = jnp.max(
+                    jnp.where(act2 > 0.5, jnp.maximum(-val2, 0.0), 0.0),
+                    axis=0)
+                w = jnp.maximum(w, w2)
+            return w
+
+        v = _bisect_accept(feasible_point, xk, viol, tol, viol_tol, n_bisect,
+                           viol_of=viol_of)
         v = jnp.where(alive > 0.5, v, xk)
         accept = (v != xk).astype(f32)
         F = t2 * v[None, :] ** 2 + t1 * v[None, :] + t0

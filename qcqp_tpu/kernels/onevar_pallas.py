@@ -198,27 +198,62 @@ def feasible_point_rows_split(p, q, r, act, p2, q2, r2, act2, xk, s, tol):
     return _feasible_point_from_canon(blocks, xk)
 
 
-def _bisect_accept(feasible_point, xk, viol, tol, viol_tol, n_bisect):
+REL_SLACK_TOL = 1.0 / 16.0
+
+
+def _bisect_accept(feasible_point, xk, viol, tol, viol_tol, n_bisect,
+                   viol_of=None, rel=REL_SLACK_TOL):
     """Shared slack-bisection tail of the phase-1 kernels (reference:
-    qcqp/qcqp.py:122-135)."""
+    qcqp/qcqp.py:122-135).
+
+    Two trip-count optimizations over the reference's uniform halving to an
+    absolute tol (each ~17 trips from a bracket of width ~viol), both leaving
+    the acceptance semantics intact (accept iff the witness's violation
+    strictly drops):
+
+    * viol_of (optional): v (R,) -> max restriction violation (R,).  A
+      feasible probe shrinks the upper bracket to the witness's ACTUAL
+      violation instead of the probed slack — a valid upper bound usually far
+      below the midpoint.  One O(m) row sweep per trip (~1% of the candidate
+      sweep) buys the skipped trips; bs becomes the witness's true violation,
+      a tighter value than the probed slack.
+    * relative termination: a lane stops once es - ss <= tol + rel*max(ss,0).
+      When the minimal slack is large, resolving it to the absolute tol buys
+      no quality (the accept only needs strict improvement, and later sweeps
+      re-refine); this caps the infeasible-heavy lanes that otherwise gate
+      the whole tile at the worst case.  Deviation from the reference's
+      absolute-tol bisection (qcqp.py:122-131), quality-pinned by the golden
+      example and parity tests.
+    """
+    def gap_tgt(ss):
+        return tol + rel * jnp.maximum(ss, 0.0)
+
     def bis_cond(c):
         ss, es, bx, bs, found, it = c
         # Reduce in f32, not via jnp.any over i1: Mosaic lowers bool
         # reductions through an intermediate whose dtype follows the x64
         # config at *outer-jit lowering* time (outside our enable_x64(False)
         # scope), which trips its 32-bit-only scalar conversion.
-        return (jnp.max(es - ss) > tol) & (it < n_bisect)
+        return (jnp.max(es - ss - gap_tgt(ss)) > 0.0) & (it < n_bisect)
 
     def bis_body(c):
         ss, es, bx, bs, found, it = c
-        do = (es - ss) > tol
+        do = (es - ss) > gap_tgt(ss)
         sm = 0.5 * (ss + es)
         xi, exists = feasible_point(sm)
         take = do & exists
+        if viol_of is None:
+            s_up = sm
+        else:
+            g = viol_of(xi)
+            # guard non-finite witnesses (e.g. -inf when the set is
+            # unbounded below): fall back to the probed slack
+            s_up = jnp.where(jnp.isfinite(xi) & ~jnp.isnan(g),
+                             jnp.minimum(g, sm), sm)
         ss = jnp.where(do & ~exists, sm, ss)
-        es = jnp.where(take, sm, es)
+        es = jnp.where(take, s_up, es)
         bx = jnp.where(take, xi, bx)
-        bs = jnp.where(take, sm, bs)
+        bs = jnp.where(take, s_up, bs)
         # found carried as f32 0/1: Mosaic rejects i1 loop carries
         found = jnp.maximum(found, take.astype(jnp.float32))
         return ss, es, bx, bs, found, it + 1
@@ -246,8 +281,14 @@ def _phase1_kernel(p_ref, q_ref, r_ref, eq_ref, act_ref, xk_ref, viol_ref,
     def feasible_point(s):
         return feasible_point_rows(p, q, r, eq, act, xk, s, m, tol)
 
+    def viol_of(v):
+        vb = v[None, :]
+        val = (p * vb + q) * vb + r
+        vv = jnp.where(eq > 0.5, jnp.abs(val), jnp.maximum(val, 0.0))
+        return jnp.max(jnp.where(act > 0.5, vv, 0.0), axis=0)
+
     v_ref[0, :] = _bisect_accept(feasible_point, xk, viol, tol, viol_tol,
-                                 n_bisect)
+                                 n_bisect, viol_of=viol_of)
 
 
 def _phase1_kernel_split(*refs, e: int, tol: float, viol_tol: float,
@@ -272,8 +313,21 @@ def _phase1_kernel_split(*refs, e: int, tol: float, viol_tol: float,
         return feasible_point_rows_split(p, q, r, act, p2, q2, r2, act2,
                                          xk, s, tol)
 
+    def viol_of(v):
+        # static eq pattern: the positive side of every row lives in block 1;
+        # the eq rows' negative side (|val| = max(val, -val)) in block 2
+        vb = v[None, :]
+        val = (p * vb + q) * vb + r
+        w = jnp.max(jnp.where(act > 0.5, jnp.maximum(val, 0.0), 0.0), axis=0)
+        if p2 is not None:
+            val2 = (p2 * vb + q2) * vb + r2
+            w2 = jnp.max(jnp.where(act2 > 0.5, jnp.maximum(-val2, 0.0), 0.0),
+                         axis=0)
+            w = jnp.maximum(w, w2)
+        return w
+
     v_ref[0, :] = _bisect_accept(feasible_point, xk, viol, tol, viol_tol,
-                                 n_bisect)
+                                 n_bisect, viol_of=viol_of)
 
 
 def phase1_coordinate_update(p, q, r, is_eq, active, xk, viol,

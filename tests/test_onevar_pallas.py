@@ -57,7 +57,11 @@ def test_pallas_phase1_matches_reference_quality(seed):
     # 1) never worse than the starting violation (up to boundary slop)
     assert (new_viol <= viol + 1e-3).all()
 
-    # 2) as good as the sequential reference, within bisection granularity
+    # 2) as good as the sequential reference within the kernel's documented
+    # termination: the bracket stops at es - ss <= tol + REL_SLACK_TOL *
+    # max(ss, 0) (onevar_pallas._bisect_accept), so the achieved slack can
+    # sit up to a (1 + rel) factor above the absolute-tol reference's.
+    from qcqp_tpu.kernels.onevar_pallas import REL_SLACK_TOL
     for lane in range(0, R, 19):
         con = OneVarConstraints(
             jnp.asarray(p[:, lane]), jnp.asarray(q[:, lane]),
@@ -65,7 +69,8 @@ def test_pallas_phase1_matches_reference_quality(seed):
             jnp.asarray(act[:, lane]))
         _, ref_slack = _reference_bisect(con, jnp.float32(xk[lane]),
                                          jnp.float32(viol[lane]))
-        assert new_viol[lane] <= ref_slack + 1e-3, lane
+        assert (new_viol[lane]
+                <= (1.0 + REL_SLACK_TOL) * ref_slack + 3e-3), lane
 
 
 @pytest.mark.parametrize("eq_frac", [0.0, 0.4, 1.0])
