@@ -183,15 +183,49 @@ def run_device(P, q, r, is_eq):
     return R / elapsed, out
 
 
+def run_admm(P, q, r, is_eq):
+    """Secondary metric: fused whole-phase ADMM improve throughput
+    (kernels/admm_pallas.py) at 50 iterations, R_ADMM restarts."""
+    import jax
+    import jax.numpy as jnp
+    from qcqp_tpu.core import QCQPForm
+
+    R_admm = int(os.environ.get("BENCH_ADMM_R", 1024))
+    iters = int(os.environ.get("BENCH_ADMM_ITERS", 50))
+    dt = jnp.float32
+    form = QCQPForm(jnp.asarray(P, dt), jnp.asarray(q, dt),
+                    jnp.asarray(r, dt), jnp.asarray(is_eq))
+    xs = jax.random.normal(jax.random.PRNGKey(0), (R_admm, N), dt)
+    on_accel = jax.default_backend() != "cpu"
+    if on_accel:
+        from qcqp_tpu.kernels.admm_pallas import (ADMMFusedData,
+                                                  improve_admm_fused)
+        data = ADMMFusedData(form)
+        step = lambda: improve_admm_fused(form, xs, num_iters=iters,
+                                          data=data)
+    else:
+        from qcqp_tpu.solvers.admm import improve_admm_batch
+        step = lambda: improve_admm_batch(form, xs, num_iters=iters)
+    jax.block_until_ready(step())      # compile
+    t0 = time.time()
+    jax.block_until_ready(step())
+    return R_admm / (time.time() - t0), iters
+
+
 def main():
     P, q, r, is_eq = make_problem()
     rate, out = run_device(P, q, r, is_eq)
+    admm_rate, admm_iters = run_admm(P, q, r, is_eq)
     base_rate = run_baseline(P, q, r, is_eq, SWEEPS)
     print(json.dumps({
         "metric": f"restarts_per_sec_n{N}_m{M}_cd{SWEEPS}",
         "value": round(rate, 3),
         "unit": "restarts/s",
         "vs_baseline": round(rate / base_rate, 3),
+        "extra": {
+            f"admm_restarts_per_sec_n{N}_m{M}_it{admm_iters}":
+                round(admm_rate, 3),
+        },
     }))
 
 

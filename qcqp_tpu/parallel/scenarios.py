@@ -71,3 +71,50 @@ def solve_scenarios(stacked: QCQPForm, num_restarts: int, key: jax.Array,
     keys = jax.random.split(key, S)
     fn = jax.jit(jax.vmap(one_scenario))
     return fn(stacked, keys)
+
+
+def solve_scenarios_sharded(stacked: QCQPForm, num_restarts: int,
+                            key: jax.Array, mesh: Mesh,
+                            s_axis: str = "s", r_axis: str = "r",
+                            suggest: str = s.RANDOM,
+                            improve: Union[str, List[str]] = s.COORD_DESCENT,
+                            better_tol: float = 1e-4, **kwargs):
+    """Solve S stacked instances with the SCENARIO axis sharded too.
+
+    `solve_scenarios` replicates the instance bank on every device; past one
+    chip that caps the bank size and wastes HBM.  Here the (S, R) grid is
+    laid out over a 2-D mesh: problem tensors and per-scenario outputs shard
+    over `s_axis`, the restart axis of the working set over `r_axis` — XLA
+    inserts the best-point reduction collectives over `r_axis` only, so
+    scenario shards never communicate (they are independent programs).
+
+    Requires S to be a multiple of the s-axis size and num_restarts a
+    multiple of the r-axis size.  Returns (xs (S, n), fs (S,), viols (S,)),
+    sharded over `s_axis`.
+    """
+    S = stacked.P.shape[0]
+    s_size = mesh.shape[s_axis]
+    r_size = mesh.shape[r_axis]
+    if S % s_size:
+        raise ValueError(f"S={S} not a multiple of the {s_axis} axis "
+                         f"({s_size})")
+    num_restarts = -(-num_restarts // r_size) * r_size
+
+    form_sh = NamedSharding(mesh, P(s_axis))
+    xs_sh = NamedSharding(mesh, P(s_axis, r_axis))
+    out_sh = NamedSharding(mesh, P(s_axis))
+    stacked = jax.tree.map(lambda a: jax.device_put(a, form_sh), stacked)
+    keys = jax.device_put(jax.random.split(key, S), form_sh)
+
+    def step(stk, ks):
+        xs = jax.vmap(
+            lambda f, k: suggest_batch(f, num_restarts, k, suggest))(stk, ks)
+        xs = jax.lax.with_sharding_constraint(xs, xs_sh)
+        xs = jax.vmap(
+            lambda f, x: improve_chain(f, x, improve, **kwargs))(stk, xs)
+        x, fv, v = jax.vmap(
+            lambda f, x: best_point(f, x, better_tol))(stk, xs)
+        return x, fv, v
+
+    fn = jax.jit(step, out_shardings=(out_sh, out_sh, out_sh))
+    return fn(stacked, keys)
