@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 
@@ -129,6 +130,156 @@ def jacobi_sweeps(A, V0=None, sweeps: int = 2):
         lam = lam[:n0]
         V = V[:n0, :n0]
     return lam, V
+
+
+def _jacobi_vec_kernel(A_ref, lam_ref, V_ref, *, n: int, K: int,
+                       sweeps: int, rounds: int = None):
+    """Vectorized round-robin Jacobi: K matrices per grid cell, ZERO matmuls.
+
+    The MXU formulation (below) spends 4 n^3 matmuls per round although a
+    Givens J has only 2 nonzeros per row and the reseat Pi is a permutation:
+    both are O(n^2) data movement.  Here each round is pure VPU work on the
+    (K, n, n) stack:
+
+      * J two-sided apply = masked adjacent-row/column swaps (roll +-1)
+        combined with the per-pair (cs, sn) coefficients — rows first, then
+        columns, coefficients computed from the pre-update A on both axes
+        (bitwise equal by symmetry, so no sublane<->lane relayout);
+      * the tournament reseat sigma (see tournament_permutation) is two
+        interleaved +-2 cyclic shifts with 3 boundary fixups (slots 0, 2,
+        n-1) = rolls + masked selects on each axis.
+
+    Per round: ~30 elementwise ops on (K, n, n) instead of 4 K n^3 MXU
+    FLOPs — ~n/8 less arithmetic, and the VPU does it at f32 without the
+    multi-pass penalty f32 MXU matmuls pay.
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    A = A_ref[:]                                         # (K, n, n)
+    ri = jax.lax.broadcasted_iota(i32, (1, n, 1), 1)
+    ci = jax.lax.broadcasted_iota(i32, (1, 1, n), 2)
+    even_r = (ri % 2) == 0
+    even_c = (ci % 2) == 0
+    rr2 = jax.lax.broadcasted_iota(i32, (n, n), 0)
+    cc2 = jax.lax.broadcasted_iota(i32, (n, n), 1)
+    eye = (rr2 == cc2).astype(f32)[None]                 # (1, n, n)
+    # E1[a, a+1] = 1 for even a (selects A[a,b] via a lane reduction);
+    # E2[a+1, a] = 1 (selects A[b,a] via a sublane reduction)
+    E1 = ((cc2 == rr2 + 1) & (rr2 % 2 == 0)).astype(f32)[None]
+    E2 = ((rr2 == cc2 + 1) & (cc2 % 2 == 0)).astype(f32)[None]
+    sgn_r = jnp.where(even_r, -1.0, 1.0).astype(f32)     # (1, n, 1)
+    sgn_c = jnp.where(even_c, -1.0, 1.0).astype(f32)     # (1, 1, n)
+
+    # pltpu.roll requires non-negative shifts: -k == n - k on a size-n axis
+    def swap_r(X):
+        return jnp.where(even_r, pltpu.roll(X, n - 1, 1),
+                         pltpu.roll(X, 1, 1))
+
+    def swap_c(X):
+        return jnp.where(even_c, pltpu.roll(X, n - 1, 2),
+                         pltpu.roll(X, 1, 2))
+
+    def perm_r(X):
+        """Row reseat X[j] <- X[sigma[j]]: evens shift down 2, odds up 2,
+        fixups at slots 0 (keep), 2 (from 1) and n-1 (from n-2)."""
+        base = jnp.where(even_r, pltpu.roll(X, 2, 1),
+                         pltpu.roll(X, n - 2, 1))
+        d1 = pltpu.roll(X, 1, 1)
+        base = jnp.where((ri == 2) | (ri == n - 1), d1, base)
+        return jnp.where(ri == 0, X, base)
+
+    def perm_c(X):
+        base = jnp.where(even_c, pltpu.roll(X, 2, 2),
+                         pltpu.roll(X, n - 2, 2))
+        d1 = pltpu.roll(X, 1, 2)
+        base = jnp.where((ci == 2) | (ci == n - 1), d1, base)
+        return jnp.where(ci == 0, X, base)
+
+    def params(d, o, even, swap):
+        """Per-pair inner rotation (Golub-Van Loan 8.4.1) from the pair's
+        diagonal values d and offdiagonal o, broadcast to both slots."""
+        a = jnp.where(even, d, swap(d))
+        b = jnp.where(even, swap(d), d)
+        c = o + swap(o)
+        tau = (b - a) / jnp.where(c == 0.0, 1.0, 2.0 * c)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0.0, 1.0, t)
+        t = jnp.where(c == 0.0, 0.0, t)
+        cs = jax.lax.rsqrt(1.0 + t * t)
+        return cs, t * cs
+
+    def round_body(_, carry):
+        A, V = carry
+        # ONE set of rotation params (row-side extraction), transposed for
+        # the column application.  Computing the column set independently
+        # from sublane reductions looks equivalent by symmetry, but f32
+        # rounding lets A drift asymmetric and the row/column coefficient
+        # mismatch then feeds back explosively (measured: offdiag norm
+        # GROWS after sweep 2).  The matmul formulation never hits this
+        # because a single J serves both sides.
+        d_r = jnp.sum(A * eye, axis=2, keepdims=True)    # (K, n, 1)
+        o_r = jnp.sum(A * E1, axis=2, keepdims=True)
+        cs_r, sn_r = params(d_r, o_r, even_r, swap_r)
+        cs_c = jnp.swapaxes(cs_r, 1, 2)                  # (K, 1, n)
+        sn_c = jnp.swapaxes(sn_r, 1, 2)
+
+        A = cs_r * A + (sgn_r * sn_r) * swap_r(A)        # J^T A
+        A = cs_c * A + (sgn_c * sn_c) * swap_c(A)        # ... J
+        V = cs_c * V + (sgn_c * sn_c) * swap_c(V)        # V J
+        A = perm_r(perm_c(A))                            # Pi^T A Pi
+        V = perm_c(V)                                    # V Pi
+        return A, V
+
+    V0 = jnp.broadcast_to(eye, (K, n, n))
+    total = sweeps * (n - 1) if rounds is None else rounds
+    A, V = jax.lax.fori_loop(jnp.int32(0), jnp.int32(total),
+                             round_body, (A, V0))
+    lam_ref[:] = jnp.sum(A * eye, axis=2)                # (K, n)
+    V_ref[:] = V
+
+
+def eigh_jacobi_vec(A: jax.Array, sweeps: int = 8, block: int = 16,
+                    interpret: bool = False, _rounds: int = None):
+    """Batched symmetric eigh via the vectorized (matmul-free) Jacobi kernel.
+
+    A: (..., n, n) float32 symmetric.  Returns (lam ascending, V) with
+    A = V diag(lam) V^T, matching jnp.linalg.eigh conventions.  `block`
+    matrices are processed per grid cell (VMEM-bound; 16 fits n<=128).
+    """
+    batch_shape = A.shape[:-2]
+    n0 = A.shape[-1]
+    n = max(_LANE, ((n0 + _LANE - 1) // _LANE) * _LANE)
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    K = min(block, B)
+    Bp = -(-B // K) * K
+    Af = A.reshape(B, n0, n0).astype(jnp.float32)
+    Af = jnp.pad(Af, ((0, Bp - B), (0, n - n0), (0, n - n0)))
+
+    kernel = functools.partial(_jacobi_vec_kernel, n=n, K=K, sweeps=sweeps,
+                               rounds=_rounds)
+    with jax.enable_x64(False):
+        lam_all, V_all = pl.pallas_call(
+            kernel,
+            grid=(Bp // K,),
+            in_specs=[pl.BlockSpec((K, n, n), lambda i: (i, 0, 0))],
+            out_specs=[
+                pl.BlockSpec((K, n), lambda i: (i, 0)),
+                pl.BlockSpec((K, n, n), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Bp, n), jnp.float32),
+                jax.ShapeDtypeStruct((Bp, n, n), jnp.float32),
+            ],
+            interpret=interpret,
+        )(Af)
+
+    lam = lam_all[:B, :n0]
+    V = V_all[:B, :n0, :n0]
+    order = jnp.argsort(lam, axis=-1)
+    lam = jnp.take_along_axis(lam, order, axis=-1)
+    V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+    return (lam.reshape(*batch_shape, n0),
+            V.reshape(*batch_shape, n0, n0))
 
 
 def _jacobi_kernel(A_ref, eye_ref, E1_ref, E2_ref, Spa_ref, Spb_ref,
