@@ -26,6 +26,10 @@ M = int(os.environ.get("BENCH_M", 50))
 R = int(os.environ.get("BENCH_R", 10240))
 SWEEPS = int(os.environ.get("BENCH_SWEEPS", 10))
 SEED = 0
+# Modeled VPU roofline of the CD mega-kernel at the default bench shape
+# (BASELINE.md "CD mega-kernel roofline": measured 21125 r/s was within ~25%
+# of the candidate-sweep lane-op bound).  Only meaningful at default N/M/R.
+CD_ROOFLINE_RS = 28000.0
 
 
 def make_problem():
@@ -91,10 +95,11 @@ def _feasible_pt(cons, s):
     return None
 
 
-def baseline_one_restart(P, q, r, is_eq, sweeps, viol_tol=1e-2, tol=1e-4):
+def baseline_one_restart(P, q, r, is_eq, sweeps, viol_tol=1e-2, tol=1e-4,
+                         seed=1):
     n = P.shape[-1]
     m = len(is_eq)
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     x = rng.standard_normal(n)
     for t in range(sweeps):
         viols = []
@@ -132,10 +137,16 @@ def baseline_one_restart(P, q, r, is_eq, sweeps, viol_tol=1e-2, tol=1e-4):
 
 
 def run_baseline(P, q, r, is_eq, sweeps):
-    # time one restart; extrapolate the single-thread rate
+    """Single-thread reference-style rate, averaged over BENCH_BASE_REPS
+    restarts (VERDICT r2 item 7: a one-restart extrapolation made
+    vs_baseline swing 5x between rounds on baseline-side noise alone).
+    The averaged rate is cross-checked against the value pinned in
+    BASELINE.md ("vs_baseline methodology")."""
+    reps = int(os.environ.get("BENCH_BASE_REPS", 5))
     t0 = time.time()
-    baseline_one_restart(P, q, r, is_eq, sweeps)
-    dt = time.time() - t0
+    for i in range(reps):
+        baseline_one_restart(P, q, r, is_eq, sweeps, seed=1 + i)
+    dt = (time.time() - t0) / reps
     return 1.0 / dt
 
 
@@ -170,15 +181,16 @@ def run_device(P, q, r, is_eq):
         return best_point(form, xs)
 
     key = jax.random.PRNGKey(0)
-    # compile
+    # compile + drain (block_until_ready does NOT reliably block over the
+    # axon tunnel for pallas programs — a host read of a scalar does)
     out = step(key)
-    jax.block_until_ready(out)
+    _ = float(out[1])
     # timed runs
     t0 = time.time()
     reps = int(os.environ.get("BENCH_REPS", 1))
     for i in range(reps):
         out = step(jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(out)
+        _ = float(out[1])
     elapsed = (time.time() - t0) / reps
     return R / elapsed, out
 
@@ -206,26 +218,134 @@ def run_admm(P, q, r, is_eq):
     else:
         from qcqp_tpu.solvers.admm import improve_admm_batch
         step = lambda: improve_admm_batch(form, xs, num_iters=iters)
-    jax.block_until_ready(step())      # compile
+    _ = float(step()[0, 0])            # compile + drain (see run_device)
     t0 = time.time()
-    jax.block_until_ready(step())
+    _ = float(step()[0, 0])
     return R_admm / (time.time() - t0), iters
+
+
+def run_ccp_nlp(P, q, r, is_eq):
+    """Per-restart throughput of the remaining two improve methods
+    (reference: qcqp/qcqp.py:288-364), vmapped over a restart batch."""
+    import jax
+    import jax.numpy as jnp
+    from qcqp_tpu.core import QCQPForm
+    from qcqp_tpu.solvers.ccp import improve_ccp, precompute_ccp
+    from qcqp_tpu.solvers.nlp import improve_nlp
+
+    R_b = int(os.environ.get("BENCH_CCP_R", 256))
+    dt = jnp.float32
+    form = QCQPForm(jnp.asarray(P, dt), jnp.asarray(q, dt),
+                    jnp.asarray(r, dt), jnp.asarray(is_eq))
+    xs = jax.random.normal(jax.random.PRNGKey(3), (R_b, N), dt)
+
+    data = precompute_ccp(form)
+    ccp = jax.jit(jax.vmap(lambda x: improve_ccp(form, x, data=data)))
+    _ = float(ccp(xs)[0, 0])
+    t0 = time.time()
+    _ = float(ccp(xs)[0, 0])
+    ccp_rate = R_b / (time.time() - t0)
+
+    nlp = jax.jit(jax.vmap(lambda x: improve_nlp(form, x)))
+    _ = float(nlp(xs)[0, 0])
+    t0 = time.time()
+    _ = float(nlp(xs)[0, 0])
+    nlp_rate = R_b / (time.time() - t0)
+    return ccp_rate, nlp_rate
+
+
+def run_sdr(P, q, r, is_eq):
+    """Single-instance SDR relaxation wall time, device vs host (VERDICT r2
+    item 3), plus the scenario-batched SDR serving rate.
+
+    Measured on an n=N boolean-least-squares instance (x_i^2 = 1): the
+    bench's random dense QCQP has an unbounded Shor relaxation, so its
+    splitting iterations never converge and time nothing meaningful."""
+    import jax
+    import jax.numpy as jnp
+    from qcqp_tpu.core import QCQPForm
+    from qcqp_tpu.solvers.sdp import solve_sdr, solve_sdr_batch
+
+    iters = int(os.environ.get("BENCH_SDR_ITERS", 3000))
+    dt = jnp.float32
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((N + 20, N))
+    b = rng.standard_normal(N + 20)
+    Pb = np.zeros((N + 1, N, N))
+    Pb[0] = A.T @ A
+    for i in range(N):
+        Pb[1 + i, i, i] = 1.0
+    qb = np.zeros((N + 1, N))
+    qb[0] = -2.0 * A.T @ b
+    rb = np.zeros(N + 1)
+    rb[0] = float(b @ b)
+    rb[1:] = -1.0
+    eqb = np.ones(N, bool)
+    form32 = QCQPForm(jnp.asarray(Pb, dt), jnp.asarray(qb, dt),
+                      jnp.asarray(rb, dt), jnp.asarray(eqb))
+    form64 = QCQPForm(jnp.asarray(Pb), jnp.asarray(qb), jnp.asarray(rb),
+                      jnp.asarray(eqb))
+
+    out = {}
+    dev = solve_sdr(form32, device="device", check=False, full=True,
+                    max_iters=iters)
+    _ = float(dev.objective)
+    t0 = time.time()
+    dev = solve_sdr(form32, device="device", check=False, full=True,
+                    max_iters=iters)
+    out["sdr_single_ms_device"] = round((time.time() - t0) * 1e3, 1)
+    host = solve_sdr(form64, device="host", check=False, full=True,
+                     max_iters=iters)
+    _ = float(host.objective)
+    t0 = time.time()
+    host = solve_sdr(form64, device="host", check=False, full=True,
+                     max_iters=iters)
+    out["sdr_single_ms_host"] = round((time.time() - t0) * 1e3, 1)
+
+    # scenario-batched serving path (16 instances, bench shape scaled down)
+    S, ns, ms = 16, 24, 12
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((S, ms + 1, ns, ns)) / np.sqrt(ns)
+    Ps = 0.5 * (A + np.swapaxes(A, -1, -2))
+    stacked = QCQPForm(jnp.asarray(Ps, dt),
+                       jnp.asarray(rng.standard_normal((S, ms + 1, ns)), dt),
+                       jnp.asarray(rng.standard_normal((S, ms + 1)), dt),
+                       jnp.asarray(np.zeros((S, ms), bool)))
+    Xb, bounds, rp, rd = solve_sdr_batch(stacked, max_iters=2000)
+    _ = float(bounds[0])
+    t0 = time.time()
+    Xb, bounds, rp, rd = solve_sdr_batch(stacked, max_iters=2000)
+    _ = float(bounds[0])
+    out["sdr_batch_solves_per_sec"] = round(S / (time.time() - t0), 2)
+    return out
 
 
 def main():
     P, q, r, is_eq = make_problem()
     rate, out = run_device(P, q, r, is_eq)
     admm_rate, admm_iters = run_admm(P, q, r, is_eq)
+    ccp_rate, nlp_rate = run_ccp_nlp(P, q, r, is_eq)
+    sdr_extras = run_sdr(P, q, r, is_eq)
     base_rate = run_baseline(P, q, r, is_eq, SWEEPS)
+    extras = {
+        f"admm_restarts_per_sec_n{N}_m{M}_it{admm_iters}":
+            round(admm_rate, 3),
+        "ccp_restarts_per_sec": round(ccp_rate, 3),
+        "nlp_restarts_per_sec": round(nlp_rate, 3),
+        # Fraction of the CD mega-kernel's algorithmic VPU roofline (the
+        # candidate-sweep cost anatomy in BASELINE.md; the kernel was within
+        # ~25% of it in round 2 => roofline ~= 28000 restarts/s at the
+        # default bench shape).  Self-auditing perf claim (VERDICT r2 #7).
+        "roofline_frac": round(rate / CD_ROOFLINE_RS, 3),
+        "baseline_restarts_per_sec": round(base_rate, 4),
+    }
+    extras.update(sdr_extras)
     print(json.dumps({
         "metric": f"restarts_per_sec_n{N}_m{M}_cd{SWEEPS}",
         "value": round(rate, 3),
         "unit": "restarts/s",
         "vs_baseline": round(rate / base_rate, 3),
-        "extra": {
-            f"admm_restarts_per_sec_n{N}_m{M}_it{admm_iters}":
-                round(admm_rate, 3),
-        },
+        "extra": extras,
     }))
 
 

@@ -65,6 +65,7 @@ class QCQP:
         self.sdr_bound = None
         self.mu = None
         self._sigma_chol = None
+        self._admm_fused = {}      # rho (or None) -> ADMMFusedData cache
         self._key = jax.random.PRNGKey(seed)
 
     # -- rng ---------------------------------------------------------------
@@ -135,6 +136,28 @@ class QCQP:
                     raise ValueError(
                         f"rho parameter is too small, need at least {min_rho:.3f}."
                     )
+            from .parallel.restarts import _fused_default
+            if kwargs.get("use_fused", _fused_default(form)):
+                # Whole-phase Pallas mega-kernel (3.3x the vmapped XLA path
+                # on v5e); the one-time ADMMFusedData setup is cached per rho
+                # like the reference's z-solver cache (qcqp/qcqp.py:224-227).
+                from .kernels.admm_pallas import (ADMMFusedData,
+                                                 improve_admm_fused)
+                cache_key = None if rho is None else float(rho)
+                data = self._admm_fused.get(cache_key)
+                if data is None:
+                    data = ADMMFusedData(form, rho)
+                    self._admm_fused[cache_key] = data
+                out = improve_admm_fused(
+                    form, x0[None, :], rho=rho,
+                    num_iters=kwargs.get("num_iters", 1000),
+                    viol_lim=kwargs.get("viol_lim", 1e4),
+                    tol=kwargs.get("tol", 1e-2),
+                    phase1=kwargs.get("phase1", True),
+                    interpret=kwargs.get("interpret", False),
+                    data=data)
+                return out[0].astype(form.dtype)
+            if rho is not None:
                 rho = jnp.asarray(rho, form.dtype)
             return improve_admm(
                 form, x0, rho,

@@ -158,6 +158,18 @@ def _make_chunk_step(Q_ref, lam_ref, qhat_ref, r_ref, eqm_ref, lmax_ref,
                 return s, e
 
             s0, e0 = jax.lax.fori_loop(0, _DBL_FIXED, dbl_body, (s0, e0))
+            # Unlike the reference's unbounded doubling (utilities.py:181-186)
+            # the fixed trip count above only reaches |nu| = 2^_DBL_FIXED.
+            # Rescue rows whose root lies beyond: three wide jumps (x1024
+            # each) push unresolved endpoints to |nu| ~ 2^40, all values
+            # still finite in f32 (phi grows at most ~nu^2 ~ 1e24 << 3e38).
+            def wide_body(_, se):
+                s, e = se
+                s = jnp.where(s_unb & (phi(s) <= 0.0), s * 1024.0, s)
+                e = jnp.where(e_unb & (phi(e) >= 0.0), e * 1024.0, e)
+                return s, e
+
+            s0, e0 = jax.lax.fori_loop(0, 3, wide_body, (s0, e0))
 
         # Root-find by FIXED-count safeguarded NEWTON.  Seed the bracket
         # with nu = 0: phi(0) = f(v) is already computed (fv), so infeasible
@@ -411,6 +423,12 @@ class ADMMFusedData:
     enough for the rotation cache — BASELINE.md round-1 finding) and shipped
     once as f32; reuse across improve calls avoids the per-call device<->host
     round-trips, which dominate on a tunneled TPU.
+
+    Bracket coverage when `need_dbl` (one-side-unbounded constraints): the
+    kernel replaces the reference's unbounded doubling search
+    (utilities.py:181-186) with _DBL_FIXED=10 doubling trips plus three
+    x1024 rescue jumps, covering secular roots out to |nu| ~ 2^40 — far
+    beyond any f32-representable constraint geometry.
     """
 
     def __init__(self, form, rho=None):

@@ -163,10 +163,8 @@ def _jacobi_vec_kernel(A_ref, lam_ref, V_ref, *, n: int, K: int,
     rr2 = jax.lax.broadcasted_iota(i32, (n, n), 0)
     cc2 = jax.lax.broadcasted_iota(i32, (n, n), 1)
     eye = (rr2 == cc2).astype(f32)[None]                 # (1, n, n)
-    # E1[a, a+1] = 1 for even a (selects A[a,b] via a lane reduction);
-    # E2[a+1, a] = 1 (selects A[b,a] via a sublane reduction)
+    # E1[a, a+1] = 1 for even a (selects A[a,b] via a lane reduction)
     E1 = ((cc2 == rr2 + 1) & (rr2 % 2 == 0)).astype(f32)[None]
-    E2 = ((rr2 == cc2 + 1) & (cc2 % 2 == 0)).astype(f32)[None]
     sgn_r = jnp.where(even_r, -1.0, 1.0).astype(f32)     # (1, n, 1)
     sgn_c = jnp.where(even_c, -1.0, 1.0).astype(f32)     # (1, 1, n)
 

@@ -32,6 +32,12 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+# Tracks whether this process brought up the jax.distributed runtime via
+# initialize() below — the public-API way to answer is_initialized() without
+# reaching into jax._src internals (which silently break across versions).
+_initialized = False
+
+
 def initialize(coordinator_address: str, num_processes: int, process_id: int,
                local_device_count: Optional[int] = None) -> None:
     """Bring up the jax.distributed runtime for one process of a multi-host
@@ -57,14 +63,17 @@ def initialize(coordinator_address: str, num_processes: int, process_id: int,
         num_processes=num_processes,
         process_id=process_id,
     )
+    global _initialized
+    _initialized = True
 
 
 def is_initialized() -> bool:
+    """True if this module's initialize() brought up jax.distributed (or the
+    process is already part of a multi-process run)."""
+    if _initialized:
+        return True
     import jax
-    try:
-        return jax.process_count() > 1 or jax._src.distributed.global_state.client is not None
-    except Exception:
-        return False
+    return jax.process_count() > 1
 
 
 def is_coordinator() -> bool:
@@ -105,3 +114,5 @@ def solve_restarts_distributed(form, num_restarts: int, key,
 def shutdown() -> None:
     import jax
     jax.distributed.shutdown()
+    global _initialized
+    _initialized = False

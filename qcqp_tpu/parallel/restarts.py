@@ -122,20 +122,40 @@ def improve_chain(form: QCQPForm, xs: jax.Array,
                     tol=kwargs.get("tol", 1e-4),
                     phase1=kwargs.get("phase1", True))
         elif method == s.ADMM:
-            if eigh is None:
-                eigh = precompute_eigh(form)
-            rho = kwargs.get("rho", None)
-            if rho is None:
-                rho = auto_rho(form)
-            rho = jnp.asarray(rho, form.dtype)
-            fn = lambda x: improve_admm(
-                form, x, rho,
-                num_iters=kwargs.get("num_iters", 1000),
-                viol_lim=kwargs.get("viol_lim", 1e4),
-                tol=kwargs.get("admm_tol", kwargs.get("tol", 1e-2)),
-                phase1=kwargs.get("phase1", True),
-                eigh=eigh)
-            xs = jax.vmap(fn)(xs)
+            admm_data = kwargs.get("admm_data", None)
+            form_concrete = not isinstance(form.P, jax.core.Tracer)
+            if kwargs.get("use_fused", False) and (admm_data is not None
+                                                   or form_concrete):
+                # Whole-phase Pallas ADMM mega-kernel (kernels/admm_pallas.py,
+                # 3.3x the vmapped XLA path on v5e).  The one-time setup
+                # (per-constraint eighs, z-update inverse) needs concrete
+                # tensors, so under an outer trace the caller must pass
+                # admm_data (solve_restarts precomputes it host-side).
+                from ..kernels.admm_pallas import improve_admm_fused
+                xs = improve_admm_fused(
+                    form, xs, rho=kwargs.get("rho", None),
+                    num_iters=kwargs.get("num_iters", 1000),
+                    viol_lim=kwargs.get("viol_lim", 1e4),
+                    tol=kwargs.get("admm_tol", kwargs.get("tol", 1e-2)),
+                    phase1=kwargs.get("phase1", True),
+                    better_tol=kwargs.get("better_tol", 1e-4),
+                    interpret=kwargs.get("interpret", False),
+                    data=admm_data).astype(xs.dtype)
+            else:
+                if eigh is None:
+                    eigh = precompute_eigh(form)
+                rho = kwargs.get("rho", None)
+                if rho is None:
+                    rho = auto_rho(form)
+                rho = jnp.asarray(rho, form.dtype)
+                fn = lambda x: improve_admm(
+                    form, x, rho,
+                    num_iters=kwargs.get("num_iters", 1000),
+                    viol_lim=kwargs.get("viol_lim", 1e4),
+                    tol=kwargs.get("admm_tol", kwargs.get("tol", 1e-2)),
+                    phase1=kwargs.get("phase1", True),
+                    eigh=eigh)
+                xs = jax.vmap(fn)(xs)
         elif method == s.DCCP:
             from ..solvers.ccp import improve_ccp
             # Same filtered forwarding as QCQP._improve_one (api.py:146-154):
@@ -205,6 +225,16 @@ def solve_restarts(form: QCQPForm, num_restarts: int, key: jax.Array,
                 int(i) for i in np.nonzero(np.asarray(form.is_eq))[0]))
         except Exception:
             pass
+
+    # Fused ADMM setup must happen HERE, outside the jit below, where the
+    # form is still concrete (host eighs + z-update inverse; see
+    # kernels/admm_pallas.ADMMFusedData).  Inside jit/shard_map the ADMM
+    # branch of improve_chain then consumes the precomputed tensors.
+    methods_list = improve if isinstance(improve, list) else [improve]
+    if (kwargs.get("use_fused", False) and s.ADMM in methods_list
+            and "admm_data" not in kwargs):
+        from ..kernels.admm_pallas import ADMMFusedData
+        kwargs["admm_data"] = ADMMFusedData(form, kwargs.get("rho", None))
 
     if mesh is not None:
         axis = list(mesh.shape.keys())[0]

@@ -41,7 +41,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import QCQPForm, better, dc_split, dc_split_eigen
+from ..core import QCQPForm, better, dc_split, dc_split_eigen, max_violation
 
 
 class CCPData(NamedTuple):
@@ -107,8 +107,18 @@ def _obj_prox(v, lam, V, qhat, rho):
 @partial(jax.jit, static_argnames=("max_iter", "inner_iters", "use_eigen_split"))
 def improve_ccp(form: QCQPForm, x0, tau=0.005, mu=1.4, tau_max=1e8,
                 max_iter=60, inner_iters=200, rho=1.0,
-                use_eigen_split=False, data: CCPData = None):
-    """Penalty CCP improve (replaces reference DCCP, qcqp/qcqp.py:288-322)."""
+                use_eigen_split=False, data: CCPData = None,
+                stall_tol=1e-6, inner_tol=1e-7, viol_exit_tol=1e-4):
+    """Penalty CCP improve (replaces reference DCCP, qcqp/qcqp.py:288-322).
+
+    Early exit (VERDICT r2 item 4): the outer loop stops once the iterate
+    stalls (|x_{k+1}-x_k| < stall_tol relative) AND the point is feasible to
+    viol_exit_tol (or tau has saturated at tau_max, where growing the
+    penalty can no longer move it); the inner splitting stops when the
+    consensus residual max_b |x_b - z| drops below inner_tol relative.  Both
+    are while_loops, so cost scales with the iterations actually used
+    instead of the fixed 60 x 200 schedule (the DCCP package's Python loop
+    also exits on convergence).  max_iter/inner_iters stay as caps."""
     if data is None:
         data = precompute_ccp(form, use_eigen_split)
     m, n = form.m, form.n
@@ -120,8 +130,8 @@ def improve_ccp(form: QCQPForm, x0, tau=0.005, mu=1.4, tau_max=1e8,
     # hinges; m+1..2m negative-direction hinges (inert for inequalities).
     B = 2 * m + 1
 
-    def ccp_iteration(carry, _):
-        xk, tau_k = carry
+    def ccp_iteration(carry):
+        xk, tau_k, it, done = carry
         # Stiffness-matched coupling: as the hinge weight tau grows, the
         # consensus penalty must grow with it or the inner splitting stalls
         # (empirically sqrt(tau) balances the objective block's curvature).
@@ -148,9 +158,14 @@ def improve_ccp(form: QCQPForm, x0, tau=0.005, mu=1.4, tau_max=1e8,
         rm = jnp.where(is_eq, rm, -1.0)
         lam_m = jnp.where(is_eq[:, None], data.lam2[1:], 0.0)
 
-        # consensus proximal splitting over B blocks
-        def inner(carry, _):
-            z, xs, us = carry
+        # consensus proximal splitting over B blocks, with a residual exit
+        def inner_cond(carry):
+            z, xs, us, t, res = carry
+            return (t < inner_iters) & (res > inner_tol)
+
+        def inner(carry):
+            z_prev, xs, us, t, _ = carry
+            z = z_prev
             vs = z[None, :] - us  # (B, n)
             x_obj = _obj_prox(vs[0], data.lam1[0], data.V1[0], q0_hat, rho_k)
             x_pos = jax.vmap(
@@ -164,15 +179,33 @@ def improve_ccp(form: QCQPForm, x0, tau=0.005, mu=1.4, tau_max=1e8,
             xs = jnp.concatenate([x_obj[None], x_pos, x_neg])
             z = jnp.mean(xs + us, axis=0)
             us = us + xs - z[None, :]
-            return (z, xs, us), None
+            # ADMM convergence needs BOTH residuals: blocks agreeing with z
+            # (primal) AND z itself stationary (dual ~ rho |z - z_prev|) —
+            # primal alone goes tiny while z still drifts toward the
+            # subproblem optimum at O(1/rho) per trip.
+            scale = 1.0 + jnp.max(jnp.abs(z))
+            res = jnp.maximum(jnp.max(jnp.abs(xs - z[None, :])),
+                              jnp.max(jnp.abs(z - z_prev))) / scale
+            return z, xs, us, t + 1, res
 
         xs0 = jnp.broadcast_to(xk, (B, n))
         us0 = jnp.zeros((B, n), dt)
-        (z, _, _), _ = jax.lax.scan(inner, (xk, xs0, us0), None,
-                                    length=inner_iters)
+        big = jnp.asarray(jnp.inf, dt)
+        z, _, _, _, _ = jax.lax.while_loop(
+            inner_cond, inner, (xk, xs0, us0, jnp.asarray(0), big))
         tau_next = jnp.minimum(tau_k * mu, tau_max)
-        return (z, tau_next), None
 
-    (x_fin, _), _ = jax.lax.scan(
-        ccp_iteration, (x0, jnp.asarray(tau, dt)), None, length=max_iter)
+        dx = jnp.linalg.norm(z - xk)
+        stalled = dx < stall_tol * (1.0 + jnp.linalg.norm(xk))
+        feas = max_violation(form, z) < viol_exit_tol
+        finished = stalled & (feas | (tau_k >= 0.999 * tau_max))
+        return z, tau_next, it + 1, finished
+
+    def ccp_cond(carry):
+        xk, tau_k, it, done = carry
+        return (it < max_iter) & ~done
+
+    x_fin, _, _, _ = jax.lax.while_loop(
+        ccp_cond, ccp_iteration,
+        (x0, jnp.asarray(tau, dt), jnp.asarray(0), jnp.asarray(False)))
     return better(form, x0, x_fin)

