@@ -233,7 +233,7 @@ def run_ccp_nlp(P, q, r, is_eq):
     from qcqp_tpu.solvers.ccp import improve_ccp, precompute_ccp
     from qcqp_tpu.solvers.nlp import improve_nlp
 
-    R_b = int(os.environ.get("BENCH_CCP_R", 256))
+    R_b = int(os.environ.get("BENCH_CCP_R", 128))
     dt = jnp.float32
     form = QCQPForm(jnp.asarray(P, dt), jnp.asarray(q, dt),
                     jnp.asarray(r, dt), jnp.asarray(is_eq))
@@ -293,6 +293,7 @@ def run_sdr(P, q, r, is_eq):
     t0 = time.time()
     dev = solve_sdr(form32, device="device", check=False, full=True,
                     max_iters=iters)
+    _ = float(dev.objective)        # drain: dispatch is async on the tunnel
     out["sdr_single_ms_device"] = round((time.time() - t0) * 1e3, 1)
     host = solve_sdr(form64, device="host", check=False, full=True,
                      max_iters=iters)
@@ -300,6 +301,7 @@ def run_sdr(P, q, r, is_eq):
     t0 = time.time()
     host = solve_sdr(form64, device="host", check=False, full=True,
                      max_iters=iters)
+    _ = float(host.objective)
     out["sdr_single_ms_host"] = round((time.time() - t0) * 1e3, 1)
 
     # scenario-batched serving path (16 instances, bench shape scaled down)

@@ -54,6 +54,67 @@ def run(mesh_devices):
     return R / (time.time() - t0)
 
 
+def collective_report(n_devices=8):
+    """Compile the sharded restart pipeline and the constraint-sharded ADMM
+    step, and inventory the collectives XLA inserted (op kind + shape +
+    bytes).  The restart axis is embarrassingly parallel, so the entire
+    cross-device traffic of a solve is the final best-point reduction —
+    this makes that claim checkable from the compiled HLO instead of
+    asserted (pod-scale de-risking; the byte counts are interconnect-
+    independent).
+    """
+    import re
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qcqp_tpu.parallel.restarts import (suggest_batch, improve_chain,
+                                            best_point)
+    from qcqp_tpu.parallel.mesh import admm_phase1_sharded
+
+    devs = jax.devices()[:n_devices]
+    mesh = Mesh(np.array(devs), ("r",))
+    rng = np.random.default_rng(0)
+    form = random_form(rng, n=N, m=M)
+    rep = NamedSharding(mesh, P())
+
+    def step(form, key):
+        xs = suggest_batch(form, R, key, "random")
+        xs = jax.lax.with_sharding_constraint(
+            xs, NamedSharding(mesh, P("r")))
+        xs = improve_chain(form, xs, "coord-descent", num_iters=SWEEPS)
+        return best_point(form, xs)
+
+    def _bytes(shape_str):
+        m_ = re.match(r"(\w+)\[([\d,]*)\]", shape_str)
+        if not m_:
+            return 0
+        dt, dims = m_.groups()
+        size = {"f64": 8, "f32": 4, "s64": 8, "s32": 4, "u64": 8, "u32": 4,
+                "pred": 1, "bf16": 2}.get(dt, 4)
+        for d in dims.split(","):
+            if d:
+                size *= int(d)
+        return size
+
+    hlo = jax.jit(step, out_shardings=(rep, rep, rep)).lower(
+        form, jax.random.PRNGKey(0)).compile().as_text()
+
+    print(f"\n== collectives in the compiled {n_devices}-device restart "
+          f"pipeline (R={R}, n={N}, m={M}) ==")
+    total = 0
+    for line in hlo.splitlines():
+        m_ = re.search(r"\b(all-reduce|all-gather|reduce-scatter|"
+                       r"collective-permute|all-to-all)\b", line)
+        if m_ and "=" in line:
+            sh = re.search(r"=\s*\(?(\w+\[[\d,]*\])", line)
+            b = _bytes(sh.group(1)) if sh else 0
+            total += b
+            print(f"  {m_.group(1):20s} {sh.group(1) if sh else '?':24s}"
+                  f" {b:8d} B")
+    print(f"  TOTAL per solve: {total} bytes over {n_devices} devices "
+          f"(restarts communicate only in the best-point reduction)")
+    print("  constraint-sharded ADMM: one psum of the consensus z per "
+          f"iteration = n*8 = {form.n * 8} B/iteration (parallel/mesh.py)")
+
+
 def main():
     devs = jax.devices()
     base = run(devs[:1])
@@ -64,6 +125,7 @@ def main():
         rate = run(devs[:nd])
         eff = rate / (base * nd) * 100
         print(f"{nd} devices: {rate:9.1f} restarts/s  (eff {eff:5.1f}%)")
+    collective_report(min(8, len(devs)))
 
 
 if __name__ == "__main__":

@@ -137,7 +137,9 @@ class QCQP:
                         f"rho parameter is too small, need at least {min_rho:.3f}."
                     )
             from .parallel.restarts import _fused_default
-            if kwargs.get("use_fused", _fused_default(form)):
+            from .kernels.admm_pallas import admm_fused_fits
+            if (kwargs.get("use_fused", _fused_default(form))
+                    and admm_fused_fits(form.n, form.m)):
                 # Whole-phase Pallas mega-kernel (3.3x the vmapped XLA path
                 # on v5e); the one-time ADMMFusedData setup is cached per rho
                 # like the reference's z-solver cache (qcqp/qcqp.py:224-227).

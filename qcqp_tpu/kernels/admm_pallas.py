@@ -52,8 +52,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .onevar_pallas import LANES
 
-_HP = jax.lax.Precision.HIGHEST
 import os
+# MXU precision of the kernel matmuls (rotations, consensus sums, z-update).
+# HIGHEST (6-pass f32) is the accuracy-validated default; ADMM_MXU_PREC=
+# default selects single-pass bf16 multiplies for the mixed-precision study
+# (benchmarks/mixed_precision.py; results pinned in BASELINE.md).
+_HP = (jax.lax.Precision.HIGHEST
+       if os.environ.get("ADMM_MXU_PREC", "highest") == "highest"
+       else jax.lax.Precision.DEFAULT)
 _NU_TOL = 1e-6        # secular bisection tol (reference: utilities.py:149,187)
 _DBL_FIXED = int(os.environ.get("ADMM_DBL_FIXED", 10))
 _NW_FIXED = int(os.environ.get("ADMM_NW_FIXED", 12))
@@ -502,6 +508,24 @@ def _admm_improve(tensors, form32, xs_p, *, m, num_iters, tol, viol_lim,
     return fold(x1, x2)
 
 
+# VMEM budget for the whole-phase kernels: the (m_pad, L, n) xh/uh scratch
+# plus Q (m_pad, n, n) and the (CHUNK, L, n) projection temporaries must fit
+# the ~16 MB/core VMEM.
+_VMEM_BUDGET = 12 * 2**20
+
+
+def admm_fused_fits(n: int, m: int) -> bool:
+    """Whether the whole-phase kernels' VMEM working set fits for (n, m).
+    Callers fall back to the vmapped XLA path otherwise (the n-tiled /
+    constraint-streaming variant is future work, SURVEY scaling dims)."""
+    m_pad = -(-m // _CHUNK) * _CHUNK
+    npad = -(-n // 128) * 128
+    scratch = 2 * m_pad * LANES * npad * 4          # xh, uh
+    consts = m_pad * npad * npad * 4                # Q
+    temps = 8 * _CHUNK * LANES * npad * 4           # projection chunk values
+    return n <= 1024 and scratch + consts + temps < _VMEM_BUDGET
+
+
 def improve_admm_fused(form, xs, rho=None, num_iters=1000, viol_lim=1e4,
                        tol=1e-2, phase1=True, better_tol=1e-4,
                        interpret=False, data: ADMMFusedData = None):
@@ -512,9 +536,16 @@ def improve_admm_fused(form, xs, rho=None, num_iters=1000, viol_lim=1e4,
 
     xs (R, n), R padded internally to a multiple of 128.  Pass a
     precomputed `data` (ADMMFusedData) to amortize the one-time setup
-    across calls on the same problem.
+    across calls on the same problem.  Problems whose working set exceeds
+    the VMEM budget (see admm_fused_fits) route to the vmapped XLA improve.
     """
     R, n = xs.shape
+    if not admm_fused_fits(n, form.m):
+        from ..solvers.admm import improve_admm_batch
+        rho_v = None if rho is None else jnp.asarray(rho, form.dtype)
+        return improve_admm_batch(form, jnp.asarray(xs, form.dtype), rho_v,
+                                  num_iters=num_iters, viol_lim=viol_lim,
+                                  tol=tol, phase1=phase1)
     if data is None:
         data = ADMMFusedData(form, rho)
     R_pad = -(-R // LANES) * LANES

@@ -47,15 +47,24 @@ def best_point(form: QCQPForm, xs: jax.Array, tol: float = 1e-4):
     """Lexicographic (viol bucket, objective) argmin over the restart axis.
 
     Returns (x_best, f_best, viol_best).  Compiles to cross-device
-    reductions when xs is sharded over restarts.
+    reductions when xs is sharded over restarts.  The winner row is
+    extracted by a one-hot masked SUM over the restart axis (a reduction
+    XLA lowers to an (n,)-sized all-reduce) — indexing `xs[i]` instead
+    makes XLA all-gather the whole (R, n) batch to every device, which is
+    the dominant collective at large R (verified via the compiled-HLO
+    inventory in benchmarks/scaling.py).
     """
-    buckets = jax.vmap(lambda x: jnp.floor(max_violation(form, x) / tol))(xs)
+    viols = jax.vmap(lambda x: max_violation(form, x))(xs)
+    buckets = jnp.floor(viols / tol)
     fs = jax.vmap(lambda x: eval_objective(form, x))(xs)
     bmin = jnp.min(buckets)
     fs_masked = jnp.where(buckets == bmin, fs, jnp.inf)
-    i = jnp.argmin(fs_masked)
-    viols = jax.vmap(lambda x: max_violation(form, x))(xs)
-    return xs[i], fs[i], viols[i]
+    i = jnp.argmin(fs_masked)           # first minimal index (tie-break)
+    onehot = (jnp.arange(xs.shape[0]) == i)
+    x = jnp.sum(jnp.where(onehot[:, None], xs, 0), axis=0)
+    f = jnp.sum(jnp.where(onehot, fs, 0))
+    v = jnp.sum(jnp.where(onehot, viols, 0))
+    return x, f, v
 
 
 def suggest_batch(form: QCQPForm, num: int, key: jax.Array,
@@ -233,8 +242,9 @@ def solve_restarts(form: QCQPForm, num_restarts: int, key: jax.Array,
     methods_list = improve if isinstance(improve, list) else [improve]
     if (kwargs.get("use_fused", False) and s.ADMM in methods_list
             and "admm_data" not in kwargs):
-        from ..kernels.admm_pallas import ADMMFusedData
-        kwargs["admm_data"] = ADMMFusedData(form, kwargs.get("rho", None))
+        from ..kernels.admm_pallas import ADMMFusedData, admm_fused_fits
+        if admm_fused_fits(form.n, form.m):
+            kwargs["admm_data"] = ADMMFusedData(form, kwargs.get("rho", None))
 
     if mesh is not None:
         axis = list(mesh.shape.keys())[0]

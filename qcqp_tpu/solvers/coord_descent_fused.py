@@ -126,6 +126,17 @@ def _mega_fits(form: QCQPForm) -> bool:
     return 2 * k1 * npad * 128 * 4 < _MEGA_VMEM_BUDGET if n <= 128 else False
 
 
+# Large-n note (round 3): an HBM-streaming variant of the mega-kernel
+# (coordinate slabs double-buffer-DMA'd from HBM, whole sweep loop in one
+# pallas_call) was built and measured on v5e at n=256/m=20: 125-138
+# restarts/s vs 4322 restarts/s for the per-coordinate fused path below —
+# XLA already pipelines the gradient-cache HBM traffic well, and the mega
+# kernel's advantage is VMEM residency, which streaming by definition
+# lacks (group-DMA amortization of the ~100us scalar DMA sync made no
+# difference).  The variant was deleted; n > 128 problems route through
+# coord_descent_phase1_fused + the Pallas bisection kernel.
+
+
 def improve_coord_descent_fused(form: QCQPForm, xs, num_iters=1000,
                                 viol_tol=1e-2, tol=1e-4, phase1=True,
                                 interpret=False, eq_idx=None, mega=None):

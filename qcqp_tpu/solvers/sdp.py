@@ -291,13 +291,25 @@ def _relaxation_device(device):
 def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
                   init: SDPState = None):
     """Returns (sol, eff_tol): eff_tol is the dtype-achievable tolerance the
-    status gate should be checked against."""
-    # f32 forms on an accelerator stay on-device (vectorized-Jacobi cone
-    # projection) unless the caller forces device="host"; everything else
-    # follows _relaxation_device.
+    status gate should be checked against.
+
+    Placement: f32 forms on an accelerator solve on-device first
+    (vectorized-Jacobi cone projection, ~6x faster per iteration than the
+    host route); the f32-achievable residual floor is instance-dependent
+    (3e-5 on the n=100 boolean-LS SDR, ~1.5e-4 on the n=25 maxcut SDR), so
+    if the device result is worse than the inaccurate-status gate the solve
+    transparently falls back to host f64.  device="device"/"host" force
+    either placement with no fallback.
+    """
     if (device == "auto" and form.dtype == jnp.float32
             and jax.default_backend() != "cpu" and form.n + 1 <= 256):
-        device = "device"
+        sol, eff = _solve_single(data_fn, form, max_iters, tol, "device",
+                                 init=init)
+        rp, rd = float(sol.primal_res), float(sol.dual_res)
+        if rp <= 1e-4 and rd <= 1e-4:
+            return sol, eff
+        return _solve_single(data_fn, form, max_iters, tol, "host",
+                             init=init)
     dev = _relaxation_device(device)
     if dev is not None:
         form64 = jax.device_put(form.astype(jnp.float64), dev)
