@@ -27,9 +27,12 @@ R = int(os.environ.get("BENCH_R", 10240))
 SWEEPS = int(os.environ.get("BENCH_SWEEPS", 10))
 SEED = 0
 # Modeled VPU roofline of the CD mega-kernel at the default bench shape
-# (BASELINE.md "CD mega-kernel roofline": measured 21125 r/s was within ~25%
-# of the candidate-sweep lane-op bound).  Only meaningful at default N/M/R.
-CD_ROOFLINE_RS = 28000.0
+# (BASELINE.md "CD mega-kernel roofline").  Round 3 folded the tangency slop
+# into the canonical bounds, cutting the dominant membership check from ~9
+# to ~7 lane-ops/row, which rescales the candidate-sweep bound to ~36000
+# restarts/s (measured 28422 after the change).  Only meaningful at default
+# N/M/R.
+CD_ROOFLINE_RS = 36000.0
 
 
 def make_problem():

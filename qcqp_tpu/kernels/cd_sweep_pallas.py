@@ -193,8 +193,14 @@ def _phase2_select(blocks, xk, p0, q0r, r0r):
     vertex = jnp.where(p0 > 0.0, -q0r / (2.0 * safe_p0), nanv)    # (1, R)
     cand_rows = [vertex]
     for (base, sgn, a, b, es, _) in blocks:
-        cand_rows.append(jnp.where(jnp.abs(a) < jnp.inf, a, nanv))
-        cand_rows.append(jnp.where(jnp.abs(b) < jnp.inf, b, nanv))
+        # _canon_leq pre-folds the tangency slop into a/b for the membership
+        # sweep; candidate POSITIONS must sit on the true boundary (an
+        # eps-shifted candidate is genuinely outside the set and its
+        # violation compounds over sweeps) — un-shift to O(eps^2).
+        a_t = a + es * 5e-7 * (1.0 + jnp.abs(a))
+        b_t = b - es * 5e-7 * (1.0 + jnp.abs(b))
+        cand_rows.append(jnp.where(jnp.abs(a) < jnp.inf, a_t, nanv))
+        cand_rows.append(jnp.where(jnp.abs(b) < jnp.inf, b_t, nanv))
     cand_rows.append(jnp.full((1, R), -jnp.inf, f32))
     cand_rows.append(jnp.full((1, R), jnp.inf, f32))
     cands = jnp.concatenate(cand_rows, axis=0)                    # (C, R)

@@ -87,6 +87,14 @@ def _canon_leq(p, q, c, tol):
     b = jnp.where(pos & Dge, hi,
                   jnp.where(lin & qpos, xlin,
                             jnp.where(complement, lo, pinf)))
+    # Fold the ~4-ulp tangency slop into the bounds HERE (per row) instead
+    # of per (row, candidate) in the membership sweep: candidates are these
+    # very boundary values recomputed by separately compiled expressions, so
+    # eps(boundary) == eps(candidate) to O(eps^2) and the guard is
+    # unchanged, while the inner check drops from ~9 to ~7 lane-ops — the
+    # sweep is the CD mega-kernel's dominant cost (BASELINE.md roofline).
+    a = jnp.where(jnp.isfinite(a), a - es * 5e-7 * (1.0 + jnp.abs(a)), a)
+    b = jnp.where(jnp.isfinite(b), b + es * 5e-7 * (1.0 + jnp.abs(b)), b)
     # left-endpoint candidate (matches the old _left_ep_rows selection)
     cand = jnp.where(pos & Dge, lo,
                      jnp.where(neg & Dge, lo,
@@ -98,19 +106,18 @@ def feas_matrix_from_canon(blocks, cands):
     """Feasibility (f32 0/1, same shape as cands) of each candidate against
     every canonical row.  blocks is a list of canonical-row tuples
     (base, sgn, a, b, es, _), each (k_i, R), already neutralized for
-    inactive rows; cands is (C, R) with NaN marking 'no candidate'."""
-    f32 = jnp.float32
-    eps = jnp.where(jnp.isfinite(cands),
-                    5e-7 * (1.0 + jnp.abs(cands)), 0.0)     # (C, R)
+    inactive rows; cands is (C, R) with NaN marking 'no candidate'.
 
+    The tangency slop is pre-folded into a/b by _canon_leq, so each row is
+    two plain compares + the mask fold."""
+    f32 = jnp.float32
     feas = jnp.ones(cands.shape, f32)   # f32 0/1 masks throughout (Mosaic)
     # Static unroll over the canonical rows: Mosaic has no dynamic_slice
     # on values, and the row counts are trace-time constants anyway.
     for (base, sgn, a, b, es, _) in blocks:
         for j in range(base.shape[0]):
-            ej = es[j:j + 1]
-            inb = ((cands >= a[j:j + 1] - ej * eps)
-                   & (cands <= b[j:j + 1] + ej * eps)).astype(f32)
+            inb = ((cands >= a[j:j + 1])
+                   & (cands <= b[j:j + 1])).astype(f32)
             feas = feas * (base[j:j + 1] + sgn[j:j + 1] * inb)
 
     return feas * (1.0 - jnp.isnan(cands).astype(f32))
