@@ -141,6 +141,31 @@ def test_fused_admm_padding():
         assert np.isfinite(np.asarray(out)).all()
 
 
+def test_fused_admm_vmem_guard_fallback(monkeypatch):
+    """Problems whose working set exceeds the VMEM budget route to the
+    vmapped XLA improve instead of failing to compile (round-3 guard)."""
+    from qcqp_tpu.kernels import admm_pallas as ap
+    import qcqp_tpu.solvers.admm as admm_mod
+    assert not ap.admm_fused_fits(1030, 4)       # n past the lane budget
+    assert ap.admm_fused_fits(100, 50)           # bench shape fits
+
+    calls = []
+    orig = admm_mod.improve_admm_batch
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(admm_mod, "improve_admm_batch", spy)
+    form = _random_form(12, 4, seed=11)
+    monkeypatch.setattr(ap, "admm_fused_fits", lambda n, m: False)
+    xs = jnp.asarray(np.random.default_rng(0).standard_normal((2, 12)),
+                     jnp.float32)
+    out = improve_admm_fused(form, xs, num_iters=20)
+    assert calls, "VMEM guard did not fall back to the vmapped path"
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_fused_admm_phase1_false():
     """phase1=False skips straight to the objective phase (the reference
     improve kwarg, qcqp.py:255)."""
