@@ -337,10 +337,9 @@ def main():
             round(admm_rate, 3),
         "ccp_restarts_per_sec": round(ccp_rate, 3),
         "nlp_restarts_per_sec": round(nlp_rate, 3),
-        # Fraction of the CD mega-kernel's algorithmic VPU roofline (the
-        # candidate-sweep cost anatomy in BASELINE.md; the kernel was within
-        # ~25% of it in round 2 => roofline ~= 28000 restarts/s at the
-        # default bench shape).  Self-auditing perf claim (VERDICT r2 #7).
+        # Fraction of the CD mega-kernel's algorithmic VPU roofline
+        # (CD_ROOFLINE_RS above; derivation in BASELINE.md "CD mega-kernel
+        # roofline").  Self-auditing perf claim (VERDICT r2 #7).
         "roofline_frac": round(rate / CD_ROOFLINE_RS, 3),
         "baseline_restarts_per_sec": round(base_rate, 4),
     }

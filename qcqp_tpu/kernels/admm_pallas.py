@@ -169,6 +169,11 @@ def _make_chunk_step(Q_ref, lam_ref, qhat_ref, r_ref, eqm_ref, lmax_ref,
             # Rescue rows whose root lies beyond: three wide jumps (x1024
             # each) push unresolved endpoints to |nu| ~ 2^40, all values
             # still finite in f32 (phi grows at most ~nu^2 ~ 1e24 << 3e38).
+            # Documented deviation (ADVICE r3): a root beyond 2^40 (needs
+            # |lam| << 1e-9 against an O(1) residual) converges to the
+            # endpoint and returns a slightly inexact projection; the
+            # lockstep parity tests (tests/test_admm_pallas.py) would
+            # surface such a geometry as a pointwise mismatch.
             def wide_body(_, se):
                 s, e = se
                 s = jnp.where(s_unb & (phi(s) <= 0.0), s * 1024.0, s)
@@ -510,19 +515,35 @@ def _admm_improve(tensors, form32, xs_p, *, m, num_iters, tol, viol_lim,
 
 # VMEM budget for the whole-phase kernels: the (m_pad, L, n) xh/uh scratch
 # plus Q (m_pad, n, n) and the (CHUNK, L, n) projection temporaries must fit
-# the ~16 MB/core VMEM.
-_VMEM_BUDGET = 12 * 2**20
+# the ~16 MB/core VMEM.  Calibrated against the bench shape (n=100, m=50):
+# the full estimate below totals ~13.1 MB there and the kernel is measured
+# to compile and run on v5e, so 14 MB leaves ~2 MB of Mosaic headroom; a
+# miss past the guard is caught by improve_admm_fused's try/except fallback.
+_VMEM_BUDGET = 14 * 2**20
 
 
 def admm_fused_fits(n: int, m: int) -> bool:
     """Whether the whole-phase kernels' VMEM working set fits for (n, m).
     Callers fall back to the vmapped XLA path otherwise (the n-tiled /
-    constraint-streaming variant is future work, SURVEY scaling dims)."""
+    constraint-streaming variant is future work, SURVEY scaling dims).
+
+    The estimate covers every kernel resident (ADVICE r3: W/P0 and the
+    per-constraint const banks were uncounted, letting near-threshold
+    shapes pass the guard and fail Mosaic allocation); improve_admm_fused
+    additionally wraps the compile in a try/except so the guard is a fast
+    path, not a correctness gate."""
     m_pad = -(-m // _CHUNK) * _CHUNK
     npad = -(-n // 128) * 128
     scratch = 2 * m_pad * LANES * npad * 4          # xh, uh
+    scratch += (2 * npad + 8) * LANES * 4           # z, z_last, keys/viol
     consts = m_pad * npad * npad * 4                # Q
-    temps = 8 * _CHUNK * LANES * npad * 4           # projection chunk values
+    consts += 2 * npad * npad * 4                   # W, P0 (phase 2)
+    consts += 2 * m_pad * npad * 4                  # lam, qhat banks
+    consts += 4 * m_pad * 4 + npad * 4              # r/eqm/lmax/lmin, q0
+    # projection temporaries: zh/uh/vh/xh chunk copies plus the Newton
+    # loop's live (C, L, n) values (Mosaic reuses stack slots across the
+    # chunk fori, so 8 live buffers bounds the measured footprint)
+    temps = 8 * _CHUNK * LANES * npad * 4
     return n <= 1024 and scratch + consts + temps < _VMEM_BUDGET
 
 
@@ -540,19 +561,32 @@ def improve_admm_fused(form, xs, rho=None, num_iters=1000, viol_lim=1e4,
     the VMEM budget (see admm_fused_fits) route to the vmapped XLA improve.
     """
     R, n = xs.shape
-    if not admm_fused_fits(n, form.m):
+
+    def _vmapped():
         from ..solvers.admm import improve_admm_batch
         rho_v = None if rho is None else jnp.asarray(rho, form.dtype)
         return improve_admm_batch(form, jnp.asarray(xs, form.dtype), rho_v,
                                   num_iters=num_iters, viol_lim=viol_lim,
                                   tol=tol, phase1=phase1)
+
+    if not admm_fused_fits(n, form.m):
+        return _vmapped()
     if data is None:
         data = ADMMFusedData(form, rho)
     R_pad = -(-R // LANES) * LANES
     xs_p = jnp.pad(jnp.asarray(xs, jnp.float32), ((0, R_pad - R), (0, 0)))
-    out = _admm_improve(
-        data.tensors, data.form32, xs_p, m=int(data.m),
-        num_iters=int(num_iters), tol=float(tol), viol_lim=float(viol_lim),
-        better_tol=float(better_tol), r0=data.r0, phase1=bool(phase1),
-        need_dbl=data.need_dbl, interpret=bool(interpret))
+    try:
+        out = _admm_improve(
+            data.tensors, data.form32, xs_p, m=int(data.m),
+            num_iters=int(num_iters), tol=float(tol), viol_lim=float(viol_lim),
+            better_tol=float(better_tol), r0=data.r0, phase1=bool(phase1),
+            need_dbl=data.need_dbl, interpret=bool(interpret))
+    except Exception as e:  # Mosaic VMEM allocation at compile time
+        if "vmem" not in str(e).lower() and "memory" not in str(e).lower():
+            raise
+        import logging
+        logging.getLogger("qcqp_tpu").warning(
+            "fused ADMM kernel failed to allocate (%s); falling back to the "
+            "vmapped path", type(e).__name__)
+        return _vmapped()
     return out[:R]

@@ -143,6 +143,12 @@ class SDPState(NamedTuple):
     rho: jax.Array
 
 
+# status_code values (SDPSolution.status_code)
+STATUS_OK = 0           # converged or iteration-limited (see residuals)
+STATUS_INFEASIBLE = 1   # primal infeasibility certificate found
+STATUS_UNBOUNDED = 2    # dual infeasibility (unbounded relaxation) cert found
+
+
 class SDPSolution(NamedTuple):
     X: jax.Array
     objective: jax.Array
@@ -150,6 +156,24 @@ class SDPSolution(NamedTuple):
     primal_res: jax.Array
     dual_res: jax.Array
     state: SDPState = None
+    status_code: jax.Array = None   # one of STATUS_* (None for old callers)
+
+
+def _power_maxeig(M, iters: int = 30):
+    """Largest eigenvalue of symmetric M by shifted power iteration —
+    matmul-only (no eigh), so the certificate checks run on the device path
+    too.  M + cI with c = ||M||_F is PSD and shares eigenvectors with M."""
+    N = M.shape[0]
+    c = jnp.sqrt(jnp.sum(M * M)) + 1e-30
+    Ms = M + c * jnp.eye(N, M.dtype)
+    v0 = jnp.full((N,), 1.0 / jnp.sqrt(N), M.dtype)
+
+    def body(_, v):
+        w = jnp.dot(Ms, v, precision=_HP)
+        return w / (jnp.linalg.norm(w) + 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, body, v0)
+    return jnp.dot(v, jnp.dot(Ms, v, precision=_HP)) - c
 
 
 @partial(jax.jit, static_argnames=("max_iters", "psd_method", "warm_sweeps"))
@@ -242,7 +266,13 @@ def _sdr_data(form: QCQPForm) -> SDPData:
     return build_sdp(W0, Ws, b, is_ineq)
 
 
-def check_status(sol: SDPSolution, tol: float, inacc_tol: float = 1e-4):
+# Inaccurate-status gate shared between check_status and _solve_single's
+# device-first acceptance test (ADVICE r3: a hardcoded duplicate let the
+# fallback decision and the status gate diverge if inacc_tol was overridden).
+_INACC_TOL = 1e-4
+
+
+def check_status(sol: SDPSolution, tol: float, inacc_tol: float = _INACC_TOL):
     """Reference-parity status gate (qcqp/qcqp.py:66-67,94-95): OPTIMAL /
     OPTIMAL_INACCURATE pass (the latter with a warning); anything else raises.
     """
@@ -306,8 +336,12 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
         sol, eff = _solve_single(data_fn, form, max_iters, tol, "device",
                                  init=init)
         rp, rd = float(sol.primal_res), float(sol.dual_res)
-        if rp <= 1e-4 and rd <= 1e-4:
+        if rp <= _INACC_TOL and rd <= _INACC_TOL:
             return sol, eff
+        import logging
+        logging.getLogger("qcqp_tpu").debug(
+            "on-device f32 SDP attempt discarded (residuals %.2e / %.2e "
+            "miss the %.0e gate); re-solving on host f64", rp, rd, _INACC_TOL)
         return _solve_single(data_fn, form, max_iters, tol, "host",
                              init=init)
     dev = _relaxation_device(device)
