@@ -34,6 +34,9 @@ from .expressions import (  # noqa: E402
     sum_entries, mul_elemwise, reshape, canonicalize,
 )
 from .api import QCQP, enable_file_log  # noqa: E402
+from .solvers.sdp import (  # noqa: E402
+    InfeasibleRelaxationError, UnboundedRelaxationError,
+)
 from .complexvar import (  # noqa: E402
     ComplexVariable, abs2, sum_abs2, cquad_form, real, imag, conj,
 )
@@ -42,6 +45,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "QCQP", "QCQPForm", "make_form", "enable_file_log",
+    "InfeasibleRelaxationError", "UnboundedRelaxationError",
     "RANDOM", "SDR", "SPECTRAL", "COORD_DESCENT", "ADMM", "DCCP", "IPOPT",
     "suggest_methods", "improve_methods",
     "Variable", "Problem", "Minimize", "Maximize", "Constraint",

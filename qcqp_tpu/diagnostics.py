@@ -80,7 +80,7 @@ def sdp_trace(form: QCQPForm, iters: int = 2000, rho0: float = 1.0,
 
     def step(carry, _):
         Y, t, U, v = carry
-        X1, s1 = _affine_prox(data, Y - U, t - v, rho0)
+        X1, s1, _ = _affine_prox(data, Y - U, t - v, rho0)
         Xr = alpha * X1 + (1 - alpha) * Y
         sr = alpha * s1 + (1 - alpha) * t
         Yn, tn = _cone_proj(Xr + U, sr + v)
