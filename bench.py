@@ -242,12 +242,26 @@ def run_ccp_nlp(P, q, r, is_eq):
                     jnp.asarray(r, dt), jnp.asarray(is_eq))
     xs = jax.random.normal(jax.random.PRNGKey(3), (R_b, N), dt)
 
-    data = precompute_ccp(form)
-    ccp = jax.jit(jax.vmap(lambda x: improve_ccp(form, x, data=data)))
-    _ = float(ccp(xs)[0, 0])
-    t0 = time.time()
-    _ = float(ccp(xs)[0, 0])
-    ccp_rate = R_b / (time.time() - t0)
+    on_accel = jax.default_backend() != "cpu"
+    if on_accel:
+        # Whole-improve Pallas CCP mega-kernel (kernels/ccp_pallas.py);
+        # 18.7x the vmapped path on v5e at BETTER violation quality
+        # (warm inner duals + short inexact inner solves, BASELINE.md r4)
+        from qcqp_tpu.kernels.ccp_pallas import (CCPFusedData,
+                                                 improve_ccp_fused)
+        cdata = CCPFusedData(form)
+        ccp = lambda: improve_ccp_fused(form, xs, data=cdata)
+        _ = float(ccp()[0, 0])
+        t0 = time.time()
+        _ = float(ccp()[0, 0])
+        ccp_rate = R_b / (time.time() - t0)
+    else:
+        data = precompute_ccp(form)
+        ccp = jax.jit(jax.vmap(lambda x: improve_ccp(form, x, data=data)))
+        _ = float(ccp(xs)[0, 0])
+        t0 = time.time()
+        _ = float(ccp(xs)[0, 0])
+        ccp_rate = R_b / (time.time() - t0)
 
     nlp = jax.jit(jax.vmap(lambda x: improve_nlp(form, x)))
     _ = float(nlp(xs)[0, 0])

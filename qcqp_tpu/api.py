@@ -79,6 +79,7 @@ class QCQP:
         self.mu = None
         self._sigma_chol = None
         self._admm_fused = {}      # rho (or None) -> ADMMFusedData cache
+        self._ccp_fused = None     # CCPFusedData cache
         self._key = jax.random.PRNGKey(seed)
 
     # -- rng ---------------------------------------------------------------
@@ -183,6 +184,28 @@ class QCQP:
                 phase1=kwargs.get("phase1", True),
             )
         if method == s.DCCP:
+            from .parallel.restarts import _fused_default
+            if (kwargs.get("use_fused", _fused_default(form))
+                    and not kwargs.get("use_eigen_split", False)):
+                # Whole-improve Pallas CCP mega-kernel (18.7x the vmapped
+                # path on v5e); the one-time eigh setup is cached on the
+                # handler like the ADMM data (reference caches analogously
+                # on the form, qcqp/utilities.py:129-130).
+                from .kernels.ccp_pallas import (CCPFusedData,
+                                                 ccp_fused_fits,
+                                                 improve_ccp_fused)
+                if self._ccp_fused is None:
+                    self._ccp_fused = CCPFusedData(form)
+                if ccp_fused_fits(form.n, form.m, self._ccp_fused.E):
+                    out = improve_ccp_fused(
+                        form, x0[None, :],
+                        tau=kwargs.get("tau", 0.005),
+                        data=self._ccp_fused,
+                        interpret=kwargs.get("interpret", False),
+                        **{k: v for k, v in kwargs.items()
+                           if k in ("max_iter", "mu", "tau_max",
+                                    "inner_iters", "warm_inner")})
+                    return out[0].astype(form.dtype)
             from .solvers.ccp import improve_ccp
             return improve_ccp(
                 form, x0,

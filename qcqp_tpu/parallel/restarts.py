@@ -166,16 +166,35 @@ def improve_chain(form: QCQPForm, xs: jax.Array,
                     eigh=eigh)
                 xs = jax.vmap(fn)(xs)
         elif method == s.DCCP:
-            from ..solvers.ccp import improve_ccp
-            # Same filtered forwarding as QCQP._improve_one (api.py:146-154):
-            # a chained solve(improve=[DCCP, ...], max_iter=...) must reach
-            # the CCP stage, not silently drop.
-            ccp_kw = {k: v for k, v in kwargs.items()
-                      if k in ("max_iter", "mu", "tau_max", "inner_iters",
-                               "use_eigen_split")}
-            fn = lambda x: improve_ccp(form, x, tau=kwargs.get("tau", 0.005),
-                                       **ccp_kw)
-            xs = jax.vmap(fn)(xs)
+            ccp_data = kwargs.get("ccp_data", None)
+            form_concrete = not isinstance(form.P, jax.core.Tracer)
+            if (kwargs.get("use_fused", False)
+                    and not kwargs.get("use_eigen_split", False)
+                    and (ccp_data is not None or form_concrete)):
+                # Whole-improve Pallas CCP mega-kernel
+                # (kernels/ccp_pallas.py, 18.7x the vmapped path on v5e);
+                # like ADMM, the one-time eigh setup needs concrete
+                # tensors, so under an outer trace the caller passes
+                # ccp_data (solve_restarts precomputes it host-side).
+                from ..kernels.ccp_pallas import improve_ccp_fused
+                ccp_kw = {k: v for k, v in kwargs.items()
+                          if k in ("max_iter", "mu", "tau_max",
+                                   "inner_iters", "warm_inner")}
+                xs = improve_ccp_fused(
+                    form, xs, tau=kwargs.get("tau", 0.005),
+                    data=ccp_data, interpret=kwargs.get("interpret", False),
+                    **ccp_kw).astype(xs.dtype)
+            else:
+                from ..solvers.ccp import improve_ccp
+                # Same filtered forwarding as QCQP._improve_one
+                # (api.py:146-154): a chained solve(improve=[DCCP, ...],
+                # max_iter=...) must reach the CCP stage, not silently drop.
+                ccp_kw = {k: v for k, v in kwargs.items()
+                          if k in ("max_iter", "mu", "tau_max",
+                                   "inner_iters", "use_eigen_split")}
+                fn = lambda x: improve_ccp(
+                    form, x, tau=kwargs.get("tau", 0.005), **ccp_kw)
+                xs = jax.vmap(fn)(xs)
         elif method == s.IPOPT:
             from ..solvers.nlp import improve_nlp
             nlp_kw = {k: v for k, v in kwargs.items()
@@ -245,6 +264,13 @@ def solve_restarts(form: QCQPForm, num_restarts: int, key: jax.Array,
         from ..kernels.admm_pallas import ADMMFusedData, admm_fused_fits
         if admm_fused_fits(form.n, form.m):
             kwargs["admm_data"] = ADMMFusedData(form, kwargs.get("rho", None))
+    if (kwargs.get("use_fused", False) and s.DCCP in methods_list
+            and "ccp_data" not in kwargs
+            and not kwargs.get("use_eigen_split", False)):
+        from ..kernels.ccp_pallas import CCPFusedData, ccp_fused_fits
+        data = CCPFusedData(form)
+        if ccp_fused_fits(form.n, form.m, data.E):
+            kwargs["ccp_data"] = data
 
     if mesh is not None:
         axis = list(mesh.shape.keys())[0]
