@@ -339,12 +339,28 @@ def run_sdr(P, q, r, is_eq):
     return out
 
 
+def run_smoke():
+    """On-TPU golden gate (tests/tpu_smoke.py); returns extras to merge.
+    BENCH_SMOKE=0 skips (e.g. CPU-only debugging)."""
+    import jax
+    if os.environ.get("BENCH_SMOKE", "1") == "0" or \
+            jax.default_backend() == "cpu":
+        return {}
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from tpu_smoke import run_smoke as _rs
+    ok, details = _rs()
+    return {"tpu_smoke_ok": ok, "tpu_smoke_failed": details["failed"]}
+
+
 def main():
     P, q, r, is_eq = make_problem()
     rate, out = run_device(P, q, r, is_eq)
     admm_rate, admm_iters = run_admm(P, q, r, is_eq)
     ccp_rate, nlp_rate = run_ccp_nlp(P, q, r, is_eq)
     sdr_extras = run_sdr(P, q, r, is_eq)
+    smoke_extras = run_smoke()
     base_rate = run_baseline(P, q, r, is_eq, SWEEPS)
     extras = {
         f"admm_restarts_per_sec_n{N}_m{M}_it{admm_iters}":
@@ -358,6 +374,7 @@ def main():
         "baseline_restarts_per_sec": round(base_rate, 4),
     }
     extras.update(sdr_extras)
+    extras.update(smoke_extras)
     print(json.dumps({
         "metric": f"restarts_per_sec_n{N}_m{M}_cd{SWEEPS}",
         "value": round(rate, 3),

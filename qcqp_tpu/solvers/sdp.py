@@ -268,7 +268,14 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
     # range([A, diag(d)]) => the affine system itself is infeasible
     # (contradictory equalities classify here at iteration 0).
     incons_tol = 1e-6 if dt == jnp.float64 else 1e-3
-    if detect_certificates and data.incons is not None:
+    # The build-time Farkas check rides on the Kinv pseudo-inverse, whose
+    # eigh the TPU computes too inaccurately in f32 (measured: incons >
+    # 1e-3 on the feasible maxcut SDR => false 'infeasible' at iteration
+    # 0).  Trust it only where the eigh is trustworthy: f64 data (host
+    # route) or a CPU backend.  The delta-iterate certificates below don't
+    # involve Kinv and stay on everywhere.
+    trust_incons = (dt == jnp.float64) or (jax.default_backend() == "cpu")
+    if detect_certificates and data.incons is not None and trust_incons:
         status0 = jnp.where(data.incons > incons_tol,
                             STATUS_INFEASIBLE, STATUS_OK)
     else:
@@ -373,6 +380,16 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         Un = Un / factor
         vn = vn / factor
 
+        # Best-iterate tracking: the f32 device path can converge to its
+        # residual floor and then diverge hundreds of iterations later
+        # (measured on the circle-packing SDR: rp 3.9e-4 at 6k iterations,
+        # 3.6 at 20k).  Return the best (Y, t) seen, not the last.
+        isbet = jnp.maximum(rp, rd) < jnp.maximum(c["best_rp"], c["best_rd"])
+        c["best_Y"] = jnp.where(isbet, Yn, c["best_Y"])
+        c["best_t"] = jnp.where(isbet, tn, c["best_t"])
+        c["best_rp"] = jnp.where(isbet, rp, c["best_rp"])
+        c["best_rd"] = jnp.where(isbet, rd, c["best_rd"])
+
         if accel_mem > 0:
             # --- type-II Anderson acceleration on w = (Y, t, U, v) ---
             w = _pack(Y, t, U, v)
@@ -437,6 +454,7 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
     carry = dict(Y=Y0, t=t0, U=U0, v=v0, V=V0, rho=jnp.asarray(rho0, dt),
                  it=jnp.asarray(0), rp=big, rd=big,
                  lam_c=jnp.zeros(k, dt), Y_c=Y0, t_c=t0,
+                 best_Y=Y0, best_t=t0, best_rp=big, best_rd=big,
                  status=jnp.asarray(status0, jnp.int32))
     if accel_mem > 0:
         carry.update(dW=jnp.zeros((accel_mem, D), dt),
@@ -446,8 +464,11 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
                      cool=jnp.asarray(0))
     c = jax.lax.while_loop(cond, body, carry)
     Y, t, U, v, V, rho = c["Y"], c["t"], c["U"], c["v"], c["V"], c["rho"]
-    obj = jnp.sum(data.W0 * Y) * data.obj_scale
-    return SDPSolution(Y, obj, c["it"], c["rp"], c["rd"],
+    Yb = c["best_Y"]
+    obj = jnp.sum(data.W0 * Yb) * data.obj_scale
+    # solution/residuals are the best iterate; state is the LAST iterate
+    # (warm-start continuity)
+    return SDPSolution(Yb, obj, c["it"], c["best_rp"], c["best_rd"],
                        SDPState(Y, t, U, v, V, rho), c["status"])
 
 
@@ -542,7 +563,7 @@ def _relaxation_device(device):
 
 
 def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
-                  init: SDPState = None):
+                  init: SDPState = None, solver_kwargs: dict = None):
     """Returns (sol, eff_tol): eff_tol is the dtype-achievable tolerance the
     status gate should be checked against.
 
@@ -554,24 +575,29 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
     transparently falls back to host f64.  device="device"/"host" force
     either placement with no fallback.
     """
+    sk = solver_kwargs or {}
     if (device == "auto" and form.dtype == jnp.float32
             and jax.default_backend() != "cpu" and form.n + 1 <= 256):
+        # Certificates are OFF for the f32 device attempt: the build-time
+        # Farkas check rides on an f32 eigh pseudo-inverse that the TPU
+        # computes inaccurately (measured: a false 'infeasible' at
+        # iteration 0 on the feasible maxcut SDR), and a wrong
+        # classification is worse than a slow fallback.  Infeasible
+        # problems fail the residual gate below and get classified by the
+        # host f64 re-solve, whose certificates are trustworthy.
+        dev_sk = dict(sk)
+        dev_sk.setdefault("detect_certificates", False)
         sol, eff = _solve_single(data_fn, form, max_iters, tol, "device",
-                                 init=init)
+                                 init=init, solver_kwargs=dev_sk)
         rp, rd = float(sol.primal_res), float(sol.dual_res)
         if rp <= _INACC_TOL and rd <= _INACC_TOL:
-            return sol, eff
-        if sol.status_code is not None and \
-                int(sol.status_code) != STATUS_OK:
-            # a certified infeasible/unbounded classification is conclusive;
-            # no point paying the host f64 re-solve to reproduce it
             return sol, eff
         import logging
         logging.getLogger("qcqp_tpu").debug(
             "on-device f32 SDP attempt discarded (residuals %.2e / %.2e "
             "miss the %.0e gate); re-solving on host f64", rp, rd, _INACC_TOL)
         return _solve_single(data_fn, form, max_iters, tol, "host",
-                             init=init)
+                             init=init, solver_kwargs=solver_kwargs)
     dev = _relaxation_device(device)
     if dev is not None:
         form64 = jax.device_put(form.astype(jnp.float64), dev)
@@ -580,7 +606,7 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
                 jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), init), dev)
         with jax.default_device(dev):
             sol = solve_sdp(data_fn(form64), max_iters=max_iters, tol=tol,
-                            init=init)
+                            init=init, **sk)
         return SDPSolution(sol.X.astype(form.dtype), sol.objective,
                            sol.iterations, sol.primal_res, sol.dual_res,
                            sol.state, sol.status_code), tol
@@ -589,14 +615,23 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
         tol = max(tol, _F32_TOL_FLOOR)
         if jax.default_backend() != "cpu" and form.n + 1 <= 256:
             psd = "vec"
+    if psd == "vec":
+        # Anderson acceleration assumes a consistent fixed-point map; the
+        # 2-sweep warm-Jacobi cone projection is inexact enough to stall
+        # the accelerated loop at ~8e-4 residuals (measured, BASELINE.md
+        # r4).  Plain alpha=1.0 converges this path (2.9e-5 in 2144 iters
+        # on the n=100 boolean-LS SDR) where alpha=1.6 stalls at 5e-3.
+        sk = dict(sk)
+        sk.setdefault("accel_mem", 0)
+        sk.setdefault("alpha", 1.0)
     sol = solve_sdp(data_fn(form), max_iters=max_iters, tol=tol,
-                    psd_method=psd, init=init)
+                    psd_method=psd, init=init, **sk)
     return sol, tol
 
 
 def solve_sdr(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
               check: bool = True, device="auto", warm: SDPState = None,
-              full: bool = False, **_ignored):
+              full: bool = False, solver_kwargs: dict = None, **_ignored):
     """Full Shor relaxation (reference: qcqp/qcqp.py:72-97).
 
     Returns (X, bound) with X the (n+1)x(n+1) PSD lifted solution.
@@ -606,7 +641,7 @@ def solve_sdr(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
     instead of the (X, bound) pair.
     """
     sol, eff_tol = _solve_single(_sdr_data, form, max_iters, tol, device,
-                                 init=warm)
+                                 init=warm, solver_kwargs=solver_kwargs)
     if check:
         check_status(sol, eff_tol)
     if full:
@@ -635,6 +670,11 @@ def solve_sdr_batch(stacked: QCQPForm, max_iters: int = 5000,
     if psd_method == "auto":
         psd_method = "warm" if stacked.dtype == jnp.float32 else "eigh"
 
+    # acceleration off on the inexact warm-Jacobi projection paths (it
+    # stalls the loop — see _solve_single); the exact-eigh batch keeps it
+    accel = 0 if psd_method in ("warm", "vec") else 20
+    alpha = 1.6 if psd_method in ("warm", "vec") else None
+
     def one(P, q, r, is_eq, init):
         form = QCQPForm(P, q, r, is_eq)
         # certificates off: under vmap the periodic lax.cond lowers to a
@@ -642,7 +682,8 @@ def solve_sdr_batch(stacked: QCQPForm, max_iters: int = 5000,
         # for the whole batch; serving callers gate feasibility upstream
         sol = solve_sdp(_sdr_data(form), max_iters=max_iters, tol=tol,
                         psd_method=psd_method, init=init,
-                        detect_certificates=False)
+                        detect_certificates=False, accel_mem=accel,
+                        alpha=alpha)
         return sol.X, sol.objective, sol.primal_res, sol.dual_res, sol.state
 
     fn = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0,
