@@ -303,23 +303,30 @@ def run_sdr(P, q, r, is_eq):
     form64 = QCQPForm(jnp.asarray(Pb), jnp.asarray(qb), jnp.asarray(rb),
                       jnp.asarray(eqb))
 
+    # Time-to-tolerance, not a fixed iteration budget (round 4): with
+    # Anderson acceleration the host path pays ~2.6x per iteration for
+    # ~4000x the residual, so equal-budget wall-clock rewards the WORSE
+    # configuration.  Each path runs to its dtype-appropriate tolerance
+    # (f32 device: the 3e-5 floor; f64 host: 1e-6) and reports ms + iters.
     out = {}
     dev = solve_sdr(form32, device="device", check=False, full=True,
-                    max_iters=iters)
+                    max_iters=2 * iters)
     _ = float(dev.objective)
     t0 = time.time()
     dev = solve_sdr(form32, device="device", check=False, full=True,
-                    max_iters=iters)
+                    max_iters=2 * iters)
     _ = float(dev.objective)        # drain: dispatch is async on the tunnel
     out["sdr_single_ms_device"] = round((time.time() - t0) * 1e3, 1)
+    out["sdr_single_iters_device"] = int(dev.iterations)
     host = solve_sdr(form64, device="host", check=False, full=True,
-                     max_iters=iters)
+                     max_iters=20000, tol=1e-6)
     _ = float(host.objective)
     t0 = time.time()
     host = solve_sdr(form64, device="host", check=False, full=True,
-                     max_iters=iters)
+                     max_iters=20000, tol=1e-6)
     _ = float(host.objective)
     out["sdr_single_ms_host"] = round((time.time() - t0) * 1e3, 1)
+    out["sdr_single_iters_host"] = int(host.iterations)
 
     # scenario-batched serving path (16 instances, bench shape scaled down)
     S, ns, ms = 16, 24, 12

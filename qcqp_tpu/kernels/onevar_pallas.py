@@ -102,25 +102,60 @@ def _canon_leq(p, q, c, tol):
     return base, sgn, a, b, es, cand
 
 
+def _g_form(base, sgn, a, b):
+    """Derive the signed-gap encoding of a canonical row block: feasibility
+    of x against row j becomes  s_j * max(a'_j - x, x - b'_j) <= 0.
+
+      interval  (base 0, sgn +1): s +1, bounds as-is
+      empty     (base 0, sgn  0): s +1, a' = +inf, b' = -inf
+      complement(base 1, sgn -1): s -1, bounds as-is (already swapped hi/lo
+                                  with the slop folded outward by _canon_leq)
+      full      (base 1, sgn  0): s +1, a' = -inf, b' = +inf (as-is)
+
+    Candidate-independent — one O(rows) pass per bisection trip — and it
+    buys the candidate sweep's inner check down from ~7 lane-ops
+    (compare/compare/convert/mul/add/mul fold) to 5 (sub/sub/max/mul/max
+    fold), the CD mega-kernel's dominant term (BASELINE.md roofline)."""
+    s = jnp.where(sgn < -0.5, -1.0, 1.0)
+    nosgn = jnp.abs(sgn) < 0.5
+    empty = (base < 0.5) & nosgn
+    # full rows — including rows NEUTRALIZED by the caller (base 1, sgn 0
+    # with their original finite bounds left in place) — must accept
+    # everything
+    full = (base > 0.5) & nosgn
+    a2 = jnp.where(empty, jnp.inf, jnp.where(full, -jnp.inf, a))
+    b2 = jnp.where(empty, -jnp.inf, jnp.where(full, jnp.inf, b))
+    return s, a2, b2
+
+
 def feas_matrix_from_canon(blocks, cands):
     """Feasibility (f32 0/1, same shape as cands) of each candidate against
     every canonical row.  blocks is a list of canonical-row tuples
     (base, sgn, a, b, es, _), each (k_i, R), already neutralized for
     inactive rows; cands is (C, R) with NaN marking 'no candidate'.
 
-    The tangency slop is pre-folded into a/b by _canon_leq, so each row is
-    two plain compares + the mask fold."""
-    f32 = jnp.float32
-    feas = jnp.ones(cands.shape, f32)   # f32 0/1 masks throughout (Mosaic)
+    The inner fold is the signed-gap form (see _g_form): the max over rows
+    of s_j * max(a_j - x, x - b_j) is <= 0 exactly when every row accepts
+    x.  All infinity cases ride the IEEE semantics (inf - x = inf,
+    max(-inf, -inf) = -inf); NaN candidates produce NaN gaps and are
+    masked by the epilogue."""
+    # +-inf candidates (phase 2's unbounded-argmin probes) would produce
+    # inf - inf = NaN gaps against same-signed infinite bounds; clamping to
+    # the f32 max keeps every comparison's outcome identical (bounds are
+    # either infinite — strictly beyond the clamp — or O(1) finite).
+    cf = jnp.clip(cands, -3.0e38, 3.0e38)
+    g = jnp.full(cands.shape, -jnp.inf, jnp.float32)
     # Static unroll over the canonical rows: Mosaic has no dynamic_slice
     # on values, and the row counts are trace-time constants anyway.
     for (base, sgn, a, b, es, _) in blocks:
+        s, a2, b2 = _g_form(base, sgn, a, b)
         for j in range(base.shape[0]):
-            inb = ((cands >= a[j:j + 1])
-                   & (cands <= b[j:j + 1])).astype(f32)
-            feas = feas * (base[j:j + 1] + sgn[j:j + 1] * inb)
+            gj = s[j:j + 1] * jnp.maximum(a2[j:j + 1] - cf,
+                                          cf - b2[j:j + 1])
+            g = jnp.maximum(g, gj)
 
-    return feas * (1.0 - jnp.isnan(cands).astype(f32))
+    return ((g <= 0.0) & ~jnp.isnan(cands)
+            & ~jnp.isnan(g)).astype(jnp.float32)
 
 
 def _feasible_point_from_canon(blocks, xk):

@@ -199,7 +199,7 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
               warm_sweeps: int = 2, init: SDPState = None,
               detect_certificates: bool = True, cert_interval: int = 100,
               accel_mem: int = 20, accel_slack: float = 1.2,
-              accel_cooldown: int = 2):
+              accel_cooldown: int = 2, accel_clamp: float = 100.0):
     """Run the splitting loop until residuals drop below tol.
 
     psd_method:
@@ -425,11 +425,16 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
                 G + reg * jnp.eye(accel_mem, dtype=dt),
                 jnp.dot(dR, r, precision=_HP))
             wAA = wF - jnp.dot(gam, dW + dR, precision=_HP)
-            # the AA correction is O(residual) near the fixed point; a much
-            # larger one signals an ill-conditioned LS — take the plain step
-            corr_ok = jnp.linalg.norm(wAA - wF) <= 100.0 * rnorm
-            use = have & (cool == 0) & corr_ok & \
-                jnp.all(jnp.isfinite(wAA))
+            # the AA correction is O(residual) near the fixed point; scale
+            # an outsized one back to accel_clamp * ||r|| (ill-conditioned
+            # LS guard; on the inexact warm-projection paths a small clamp
+            # also keeps the extrapolation within the warm eigenbasis's
+            # tracking range)
+            corr = wAA - wF
+            cn = jnp.linalg.norm(corr)
+            wAA = wF + jnp.minimum(1.0, accel_clamp * rnorm
+                                   / (cn + 1e-30)) * corr
+            use = have & (cool == 0) & jnp.all(jnp.isfinite(wAA))
             w_next = jnp.where(bad, wF_prev, jnp.where(use, wAA, wF))
             Ya, ta, Ua, va = _unpack(w_next)
             Yn, tn, Un, vn = _sym(Ya), ta, _sym(Ua), va

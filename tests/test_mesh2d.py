@@ -75,3 +75,26 @@ def test_mesh2d_rejects_bad_restart_count():
     xs = jnp.zeros((3, 4))
     with pytest.raises(ValueError):
         improve_admm_2d(form, xs, mesh)
+
+
+def test_mesh2d_large_m_512_parity():
+    """The use case mesh2d advertises — m in the hundreds sharded over the
+    constraint axis — exercised at m=512 (VERDICT r3 weak #7: previously
+    untested above m=7): parity with the single-device batched ADMM at the
+    same iteration budget, plus monotone violation."""
+    form = _random_form(n=16, m=512, seed=3)
+    mesh = make_mesh_2d(2, 4)
+    R = 4
+    xs = jax.random.normal(jax.random.PRNGKey(3), (R, form.n), form.dtype)
+
+    out2d = np.asarray(improve_admm_2d(form, xs, mesh, num_iters=40))
+    out1d = np.asarray(improve_admm_batch(form, xs, num_iters=40))
+
+    v2d = np.asarray(jax.vmap(lambda x: core.max_violation(form, x))(out2d))
+    v1d = np.asarray(jax.vmap(lambda x: core.max_violation(form, x))(out1d))
+    v0 = np.asarray(jax.vmap(lambda x: core.max_violation(form, x))(xs))
+    assert np.isfinite(out2d).all()
+    assert (v2d <= v0 + 1e-6).all()
+    # same algorithm, different reduction order: violations agree to the
+    # consensus tolerance scale
+    np.testing.assert_allclose(v2d, v1d, rtol=0.1, atol=5e-2)
