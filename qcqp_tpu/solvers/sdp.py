@@ -46,10 +46,11 @@ class SDPData(NamedTuple):
     obj_scale: jax.Array
     Wf: jax.Array      # (k, N*N) flattened constraint rows (normalized)
     b: jax.Array       # (k,)
-    d: jax.Array       # (k,) 1.0 where the row has an inequality slack
+    d: jax.Array       # (k,) inequality-slack coefficient (0 where none)
     Kinv: jax.Array    # (k, k) pseudo-inverse of A A^T + D
     AW0: jax.Array     # (k,) A(W0)
     incons: jax.Array = None  # scalar: affine-inconsistency residual (Farkas)
+    Dscale: jax.Array = None  # (N,) Ruiz X-space scaling (X = D Xh D)
 
 
 # All solver matmuls pin precision=HIGHEST: the TPU's default single-pass
@@ -63,10 +64,52 @@ def _sym(M):
     return 0.5 * (M + jnp.swapaxes(M, -1, -2))
 
 
-def build_sdp(W0, Ws, b, is_ineq) -> SDPData:
-    """Assemble and precondition the SDP data (one-time, host or device)."""
+def build_sdp(W0, Ws, b, is_ineq, ruiz_iters: int = 15) -> SDPData:
+    """Assemble and precondition the SDP data (one-time, host or device).
+
+    Ruiz equilibration (round 4; ROADMAP item): symmetric D (x) D scaling
+    of the lifted X space plus per-row scaling E, iterated to balance the
+    inf-norms of the scaled operator rows and X-entry columns.  The
+    D-update uses a quarter power because each X entry (i, j) is scaled by
+    both D_i and D_j.  The solution map X = D Xh D is applied by the
+    solve_sdr/solve_spectral wrappers via SDPData.Dscale; slacks scale
+    with their row (d becomes the row's slack coefficient).  Badly scaled
+    lifted problems — e.g. a least-squares objective block against unit
+    constraint rows — are exactly where the splitting iteration count
+    explodes.  ruiz_iters=0 disables.
+    """
     N = W0.shape[0]
     k = Ws.shape[0]
+    dt = W0.dtype
+
+    D = jnp.ones(N, dt)
+    E = jnp.ones(k, dt)
+    absW = jnp.abs(Ws)                         # (k, N, N)
+    dmask = is_ineq.astype(dt)
+
+    def ruiz_body(_, DE):
+        D, E = DE
+        DD = D[:, None] * D[None, :]           # (N, N)
+        scaled = absW * (E[:, None, None] * DD[None])
+        # row inf-norms (incl. the slack column for ineq rows)
+        rw = jnp.maximum(jnp.max(scaled.reshape(k, -1), axis=1),
+                         dmask * E)
+        E = E / jnp.sqrt(jnp.where(rw > 1e-12, rw, 1.0))
+        # column (X-entry) inf-norms under the D (x) D structure
+        M = jnp.max(absW * E[:, None, None], axis=0)     # (N, N)
+        c = jnp.max(M * DD, axis=1)                      # (N,)
+        D = D / jnp.sqrt(jnp.sqrt(jnp.where(c > 1e-12, c, 1.0)))
+        return D, E
+
+    if ruiz_iters:
+        D, E = jax.lax.fori_loop(0, ruiz_iters, ruiz_body, (D, E))
+
+    DD = D[:, None] * D[None, :]
+    Ws = Ws * (E[:, None, None] * DD[None])
+    b = b * E
+    W0 = W0 * DD
+    d0 = is_ineq.astype(dt) * E
+
     Wf = Ws.reshape(k, N * N)
     row_norms = jnp.linalg.norm(Wf, axis=1)
     scale = jnp.where(row_norms > 1e-12, row_norms, 1.0)
@@ -74,9 +117,11 @@ def build_sdp(W0, Ws, b, is_ineq) -> SDPData:
     b = b / scale
     obj_scale = jnp.maximum(jnp.linalg.norm(W0), 1e-12)
     W0n = W0 / obj_scale
-    d = is_ineq.astype(W0.dtype)
+    d = d0 / scale
     G = jnp.dot(Wf, Wf.T, precision=_HP)
-    K = G + jnp.diag(d)
+    # the slack block contributes diag(d^2) to the Gram (d was 0/1 before
+    # Ruiz made it a general per-row coefficient)
+    K = G + jnp.diag(d * d)
     lam, V = jnp.linalg.eigh(K)
     lam_inv = jnp.where(lam > 1e-10 * jnp.max(lam), 1.0 / lam, 0.0)
     Kinv = jnp.dot(V * lam_inv, V.T, precision=_HP)
@@ -91,7 +136,7 @@ def build_sdp(W0, Ws, b, is_ineq) -> SDPData:
     # qcqp/qcqp.py:94-95.)
     w_res = b - jnp.dot(K, jnp.dot(Kinv, b, precision=_HP), precision=_HP)
     incons = jnp.linalg.norm(w_res) / jnp.maximum(jnp.linalg.norm(b), 1.0)
-    return SDPData(W0n, obj_scale, Wf, b, d, Kinv, AW0, incons)
+    return SDPData(W0n, obj_scale, Wf, b, d, Kinv, AW0, incons, D)
 
 
 def _affine_prox(data: SDPData, Xt, st, rho):
@@ -309,7 +354,7 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         a_res = jnp.linalg.norm(
             jnp.dot(data.Wf, Yc.reshape(-1), precision=_HP) + data.d * tc)
         psd_ok = _power_maxeig(-_sym(Yc)) <= ctol     # Yc >= -ctol
-        slack_ok = jnp.min(jnp.where(data.d > 0.5, tc, 0.0)) >= -ctol
+        slack_ok = jnp.min(jnp.where(data.d > 0.0, tc, 0.0)) >= -ctol
         obj_dir = jnp.sum(data.W0 * Yc)
         unbdd = (nY > dmin) & (a_res <= ctol) & psd_ok & slack_ok & \
             (obj_dir <= -cmarg)
@@ -472,8 +517,12 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
     Yb = c["best_Y"]
     obj = jnp.sum(data.W0 * Yb) * data.obj_scale
     # solution/residuals are the best iterate; state is the LAST iterate
-    # (warm-start continuity)
-    return SDPSolution(Yb, obj, c["it"], c["best_rp"], c["best_rd"],
+    # (warm-start continuity, SCALED space).  X is mapped back through the
+    # Ruiz scaling (X = D Xh D) so callers see the original coordinates.
+    Xout = Yb
+    if data.Dscale is not None:
+        Xout = data.Dscale[:, None] * Yb * data.Dscale[None, :]
+    return SDPSolution(Xout, obj, c["it"], c["best_rp"], c["best_rd"],
                        SDPState(Y, t, U, v, V, rho), c["status"])
 
 
@@ -626,9 +675,14 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
         # the accelerated loop at ~8e-4 residuals (measured, BASELINE.md
         # r4).  Plain alpha=1.0 converges this path (2.9e-5 in 2144 iters
         # on the n=100 boolean-LS SDR) where alpha=1.6 stalls at 5e-3.
+        # 3 Jacobi sweeps (not 2) drop the inequality-heavy instances'
+        # f32 residual floor below the 1e-4 acceptance gate (circle
+        # packing: 2.7e-4 -> 8.7e-5 with Ruiz) at no iteration-count cost
+        # on the other golden SDRs.
         sk = dict(sk)
         sk.setdefault("accel_mem", 0)
         sk.setdefault("alpha", 1.0)
+        sk.setdefault("warm_sweeps", 3)
     sol = solve_sdp(data_fn(form), max_iters=max_iters, tol=tol,
                     psd_method=psd, init=init, **sk)
     return sol, tol

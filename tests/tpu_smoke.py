@@ -51,6 +51,22 @@ def _boolean_ls_form(jnp, QCQPForm, n=10, m=15):
     return form, best
 
 
+def _circle_form(jnp, QCQPForm):
+    """Circle-packing SDR form via the modeling layer (the inequality-heavy
+    golden whose f32 residual floor used to force a host fallback)."""
+    import qcqp_tpu as qt
+    from qcqp_tpu.expressions import canonicalize
+    nC, B = 5, 10.0
+    X = qt.Variable(2, nC)
+    r = qt.Variable()
+    cons = [X >= r, X <= B - r, r >= 0]
+    for i in range(nC):
+        for j in range(i + 1, nC):
+            cons.append(qt.square(2 * r) <= qt.sum_squares(X[:, i] - X[:, j]))
+    prob = qt.Problem(qt.Maximize(r), cons)
+    return canonicalize(prob, np.float32)[0]
+
+
 def _maxcut_form(jnp, QCQPForm, n=25, p=0.2):
     np.random.seed(1)
     W = np.random.uniform(0, 1, (n, n))
@@ -91,9 +107,12 @@ def run_smoke():
     bls, brute = _boolean_ls_form(jnp, QCQPForm)
     mc = _maxcut_form(jnp, QCQPForm)
 
-    # --- SDR bounds on-device, accepted by the residual gate ---
+    # --- SDR bounds on-device, accepted by the residual gate (all four
+    # golden relaxations run on-chip with zero host fallbacks, round 4) ---
+    circle = _circle_form(jnp, QCQPForm)
     for name, form, golden, tol in (("sdr_boolean_ls", bls, 28.750, 2e-2),
-                                    ("sdr_maxcut", mc, -57.207, 5e-2)):
+                                    ("sdr_maxcut", mc, -57.207, 5e-2),
+                                    ("sdr_circle", circle, -5.000, 5e-2)):
         try:
             sol = solve_sdr(form, device="device", check=False, full=True)
             bound = float(sol.objective)
