@@ -244,7 +244,8 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
               warm_sweeps: int = 2, init: SDPState = None,
               detect_certificates: bool = True, cert_interval: int = 100,
               accel_mem: int = 20, accel_slack: float = 1.2,
-              accel_cooldown: int = 2, accel_clamp: float = 100.0):
+              accel_cooldown: int = 2, accel_clamp: float = 100.0,
+              stall_iters: int = 3000):
     """Run the splitting loop until residuals drop below tol.
 
     psd_method:
@@ -376,7 +377,12 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         return Y, t, U, v
 
     def cond(c):
-        return (c["it"] < max_iters) & \
+        # stall exit: once the best iterate hasn't improved for
+        # stall_iters iterations the dtype's residual floor is reached —
+        # spinning to max_iters buys nothing (the circle-packing f32 SDR
+        # floors at ~9e-5 and used to burn its whole 20000-iteration cap)
+        stalled = c["it"] - c["improve_it"] > stall_iters
+        return (c["it"] < max_iters) & ~stalled & \
                ((c["rp"] > tol) | (c["rd"] > tol)) & \
                (c["status"] == STATUS_OK)
 
@@ -434,6 +440,7 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         c["best_t"] = jnp.where(isbet, tn, c["best_t"])
         c["best_rp"] = jnp.where(isbet, rp, c["best_rp"])
         c["best_rd"] = jnp.where(isbet, rd, c["best_rd"])
+        c["improve_it"] = jnp.where(isbet, c["it"], c["improve_it"])
 
         if accel_mem > 0:
             # --- type-II Anderson acceleration on w = (Y, t, U, v) ---
@@ -505,6 +512,7 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
                  it=jnp.asarray(0), rp=big, rd=big,
                  lam_c=jnp.zeros(k, dt), Y_c=Y0, t_c=t0,
                  best_Y=Y0, best_t=t0, best_rp=big, best_rd=big,
+                 improve_it=jnp.asarray(0),
                  status=jnp.asarray(status0, jnp.int32))
     if accel_mem > 0:
         carry.update(dW=jnp.zeros((accel_mem, D), dt),
