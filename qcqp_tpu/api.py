@@ -202,9 +202,14 @@ class QCQP:
                         tau=kwargs.get("tau", 0.005),
                         data=self._ccp_fused,
                         interpret=kwargs.get("interpret", False),
+                        # single-restart improve is the latency/parity path:
+                        # spend 40 inner trips (vs the batched default 10)
+                        # — geometry like circle packing measurably benefits
+                        # and the cost is one chain
+                        inner_iters=kwargs.get("inner_iters", 40),
                         **{k: v for k, v in kwargs.items()
                            if k in ("max_iter", "mu", "tau_max",
-                                    "inner_iters", "warm_inner")})
+                                    "warm_inner")})
                     return out[0].astype(form.dtype)
             from .solvers.ccp import improve_ccp
             return improve_ccp(
