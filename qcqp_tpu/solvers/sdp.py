@@ -654,6 +654,19 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
         rp, rd = float(sol.primal_res), float(sol.dual_res)
         if rp <= _INACC_TOL and rd <= _INACC_TOL:
             return sol, eff
+        if "warm_sweeps" not in dev_sk:
+            # Retry once with 3 Jacobi sweeps, warm-started from the
+            # 2-sweep floor: the extra sweep drops the inequality-heavy
+            # instances' f32 residual floor under the acceptance gate
+            # (circle packing: 2.7e-4 -> 8.7e-5 with Ruiz) but costs ~50%
+            # per iteration, so the common case keeps the 2-sweep path.
+            sk3 = dict(dev_sk, warm_sweeps=3)
+            sol3, eff3 = _solve_single(data_fn, form, max_iters, tol,
+                                       "device", init=sol.state,
+                                       solver_kwargs=sk3)
+            rp, rd = float(sol3.primal_res), float(sol3.dual_res)
+            if rp <= _INACC_TOL and rd <= _INACC_TOL:
+                return sol3, eff3
         import logging
         logging.getLogger("qcqp_tpu").debug(
             "on-device f32 SDP attempt discarded (residuals %.2e / %.2e "
@@ -683,14 +696,9 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
         # the accelerated loop at ~8e-4 residuals (measured, BASELINE.md
         # r4).  Plain alpha=1.0 converges this path (2.9e-5 in 2144 iters
         # on the n=100 boolean-LS SDR) where alpha=1.6 stalls at 5e-3.
-        # 3 Jacobi sweeps (not 2) drop the inequality-heavy instances'
-        # f32 residual floor below the 1e-4 acceptance gate (circle
-        # packing: 2.7e-4 -> 8.7e-5 with Ruiz) at no iteration-count cost
-        # on the other golden SDRs.
         sk = dict(sk)
         sk.setdefault("accel_mem", 0)
         sk.setdefault("alpha", 1.0)
-        sk.setdefault("warm_sweeps", 3)
     sol = solve_sdp(data_fn(form), max_iters=max_iters, tol=tol,
                     psd_method=psd, init=init, **sk)
     return sol, tol

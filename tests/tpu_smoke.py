@@ -108,13 +108,17 @@ def run_smoke():
     mc = _maxcut_form(jnp, QCQPForm)
 
     # --- SDR bounds on-device, accepted by the residual gate (all four
-    # golden relaxations run on-chip with zero host fallbacks, round 4) ---
+    # golden relaxations run on-chip with zero host fallbacks, round 4).
+    # The circle row pins the 3-sweep cone projection the auto path
+    # retries with when the 2-sweep f32 floor misses the gate. ---
     circle = _circle_form(jnp, QCQPForm)
-    for name, form, golden, tol in (("sdr_boolean_ls", bls, 28.750, 2e-2),
-                                    ("sdr_maxcut", mc, -57.207, 5e-2),
-                                    ("sdr_circle", circle, -5.000, 5e-2)):
+    for name, form, golden, tol, skw in (
+            ("sdr_boolean_ls", bls, 28.750, 2e-2, None),
+            ("sdr_maxcut", mc, -57.207, 5e-2, None),
+            ("sdr_circle", circle, -5.000, 5e-2, {"warm_sweeps": 3})):
         try:
-            sol = solve_sdr(form, device="device", check=False, full=True)
+            sol = solve_sdr(form, device="device", check=False, full=True,
+                            solver_kwargs=skw)
             bound = float(sol.objective)
             rp, rd = float(sol.primal_res), float(sol.dual_res)
             accepted = rp <= 1e-4 and rd <= 1e-4
