@@ -191,3 +191,18 @@ class TestBeamforming:
         q.suggest(qt.RANDOM)
         with pytest.raises(ValueError, match="rho"):
             q.improve(qt.ADMM, rho=1e-9)
+
+
+class TestInfeasibleProblems:
+    def test_suggest_sdr_raises_infeasible(self):
+        """An infeasible user problem (contradictory equalities) surfaces a
+        distinct classification through the public API — the failure
+        semantics the reference delegated to its conic solvers
+        (qcqp/qcqp.py:94-95); round-4 certificates."""
+        x = qt.Variable(2)
+        prob = qt.Problem(qt.Minimize(qt.sum_squares(x)),
+                          [qt.square(x[0]) == 1,
+                           qt.square(x[0]) == 4])
+        q = qt.QCQP(prob, check_dcp=False)
+        with pytest.raises(qt.InfeasibleRelaxationError):
+            q.suggest(qt.SDR)
