@@ -71,7 +71,10 @@ _CHUNK = 5
 
 def _consensus_sum(Q_ref, xh_ref, uh_ref, m_pad, shape):
     """sum_i (xh_i - uh_i) Q_i^T -> (L, n) (row-vector convention).
-    fori with dynamic ref indexing: one stack slot, not one per row."""
+    fori with dynamic ref indexing: one stack slot, not one per row.
+    (A single two-dim-contracting dot_general would run this at full MXU
+    efficiency, but Mosaic rejects it: 'lhs contracting dims must be of
+    size 1' — measured round 4.)"""
     def body(i, acc):
         return acc + jax.lax.dot_general(
             xh_ref[i] - uh_ref[i], Q_ref[i], (((1,), (1,)), ((), ())),
