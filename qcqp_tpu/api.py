@@ -153,7 +153,7 @@ class QCQP:
                     )
             from .parallel.restarts import _fused_default
             from .kernels.admm_pallas import admm_fused_fits
-            if (kwargs.get("use_fused", _fused_default(form))
+            if (form.m > 0 and kwargs.get("use_fused", _fused_default(form))
                     and admm_fused_fits(form.n, form.m)):
                 # Whole-phase Pallas mega-kernel (3.3x the vmapped XLA path
                 # on v5e); the one-time ADMMFusedData setup is cached per rho

@@ -564,6 +564,10 @@ def improve_admm_fused(form, xs, rho=None, num_iters=1000, viol_lim=1e4,
     the VMEM budget (see admm_fused_fits) route to the vmapped XLA improve.
     """
     R, n = xs.shape
+    if form.m == 0:
+        from ..solvers.admm import improve_admm_batch as _b
+        return _b(form, jnp.asarray(xs, form.dtype), None,
+                  num_iters=num_iters, phase1=phase1)
 
     def _vmapped():
         from ..solvers.admm import improve_admm_batch

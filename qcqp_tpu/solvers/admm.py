@@ -95,6 +95,19 @@ def admm_phase2(form: QCQPForm, eigh: ConstraintEigh, x0, rho, tol=1e-2,
     return bestx
 
 
+def _unconstrained_improve(form: QCQPForm, x0):
+    """ADMM degenerates for m == 0 (the reference divides by m and crashes,
+    qcqp.py:205,277 — quirk not replicated): the consensus is vacuous, so
+    return the closed-form unconstrained objective minimum when P0 is
+    convex, else x0 unchanged (a nonconvex unconstrained objective is
+    unbounded; mirroring the swallowed-failure convention)."""
+    lmb, Q = jnp.linalg.eigh(form.P[0])
+    ok = jnp.min(lmb) > 1e-10
+    lam_safe = jnp.where(lmb > 1e-10, lmb, 1.0)
+    xstar = -0.5 * (Q @ ((Q.T @ form.q[0]) / lam_safe))
+    return jnp.where(ok, better(form, x0, xstar), x0)
+
+
 def auto_rho(form: QCQPForm):
     """Reference auto-rho heuristic (qcqp/qcqp.py:270-278)."""
     lmb = jnp.linalg.eigvalsh(form.P[0])
@@ -118,6 +131,8 @@ def improve_admm(form: QCQPForm, x0, rho=None, num_iters=1000, viol_lim=1e4,
     rho validation against min_valid_rho is the caller's (api layer's) job —
     it raises host-side, which has no place inside a jitted loop.
     """
+    if form.m == 0:                      # static shape property
+        return _unconstrained_improve(form, x0)
     if eigh is None:
         eigh = precompute_eigh(form)
     if rho is None:
@@ -134,6 +149,8 @@ def improve_admm(form: QCQPForm, x0, rho=None, num_iters=1000, viol_lim=1e4,
 def improve_admm_batch(form: QCQPForm, xs, rho=None, num_iters=1000, viol_lim=1e4,
                        tol=1e-2, phase1=True):
     """vmap over a leading restart axis; the eigh precompute is shared."""
+    if form.m == 0:
+        return jax.vmap(lambda x: _unconstrained_improve(form, x))(xs)
     eigh = precompute_eigh(form)
     if rho is None:
         rho = auto_rho(form)

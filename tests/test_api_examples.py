@@ -206,3 +206,18 @@ class TestInfeasibleProblems:
         q = qt.QCQP(prob, check_dcp=False)
         with pytest.raises(qt.InfeasibleRelaxationError):
             q.suggest(qt.SDR)
+
+
+class TestUnconstrainedProblems:
+    def test_all_improves_handle_m_equals_zero(self):
+        """Consensus ADMM degenerates at m=0 (the reference divides by m
+        and crashes, qcqp.py:205,277 — quirk not replicated): every improve
+        method must handle an unconstrained problem."""
+        x = qt.Variable(3)
+        prob = qt.Problem(qt.Minimize(qt.sum_squares(x - np.ones(3))), [])
+        q = qt.QCQP(prob, check_dcp=False)
+        q.suggest(qt.RANDOM)
+        for meth in (qt.COORD_DESCENT, qt.ADMM, qt.DCCP, qt.IPOPT):
+            f, v = q.improve(meth)
+            assert np.isfinite(f) and v == 0.0
+            assert f <= 1e-3 or meth == qt.DCCP  # convex: reaches 0
