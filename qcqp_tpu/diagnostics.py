@@ -69,6 +69,31 @@ def admm_trace(form: QCQPForm, x0, iters: int = 200, rho=None,
     return {"z": z, "z_residual": dz, "violation": viols, "objective": objs}
 
 
+def ccp_trace(form: QCQPForm, x0, outers: int = 40, tau: float = 0.005,
+              mu: float = 1.4, tau_max: float = 1e8,
+              inner_iters: int = 40) -> Dict[str, jax.Array]:
+    """Per-outer-iteration history of the penalty CCP improve
+    (tau, objective, max violation) — the replay view of
+    solvers/ccp.improve_ccp (reference behavior: qcqp/qcqp.py:288-322)."""
+    from .solvers.ccp import improve_ccp, precompute_ccp
+
+    data = precompute_ccp(form)
+
+    def step(carry, _):
+        x, tau_k = carry
+        # one outer CCP step at the carried tau (mu=1 freezes the inner
+        # schedule; tau is advanced here so the carry holds what ran)
+        x1 = improve_ccp(form, x, tau=tau_k, mu=1.0, tau_max=tau_max,
+                         max_iter=1, inner_iters=inner_iters, data=data)
+        tau_next = jnp.minimum(tau_k * mu, tau_max)
+        return (x1, tau_next), (tau_k, eval_objective(form, x1),
+                                max_violation(form, x1))
+
+    (x_fin, _), (taus, objs, viols) = jax.lax.scan(
+        step, (x0, jnp.asarray(tau, x0.dtype)), None, length=outers)
+    return {"x": x_fin, "tau": taus, "objective": objs, "violation": viols}
+
+
 def sdp_trace(form: QCQPForm, iters: int = 2000, rho0: float = 1.0,
               alpha: float = 1.6) -> Dict[str, jax.Array]:
     """Residual curves of the SDR splitting solver (fixed-iteration replay)."""

@@ -125,3 +125,18 @@ def test_solve_scenarios_sharded_validates_axes():
     mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("s", "r"))
     with pytest.raises(ValueError):
         solve_scenarios_sharded(stacked, 8, jax.random.PRNGKey(0), mesh)
+
+
+def test_ccp_trace_shapes_and_tau_schedule():
+    from qcqp_tpu.diagnostics import ccp_trace
+    rng = np.random.default_rng(1)
+    form = core.random_form(rng, n=5, m=3, eq_frac=0.5)
+    x0 = jnp.asarray(rng.standard_normal(5))
+    tr = ccp_trace(form, x0, outers=8, tau=0.01, mu=2.0)
+    assert tr["tau"].shape == (8,)
+    np.testing.assert_allclose(np.asarray(tr["tau"]),
+                               0.01 * 2.0 ** np.arange(8), rtol=1e-6)
+    # each step folds through `better` (bucketized at 1e-4): violations
+    # never increase beyond one bucket
+    v = np.asarray(tr["violation"])
+    assert (np.diff(v) <= 1e-4 + 1e-9).all()
