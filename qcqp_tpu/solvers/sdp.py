@@ -473,9 +473,29 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
             hnew = jnp.minimum(hlen + 1, accel_mem)
             G = jnp.dot(dR, dR.T, precision=_HP)
             reg = 1e-12 * jnp.trace(G) + 1e-30
-            gam = jnp.linalg.solve(
-                G + reg * jnp.eye(accel_mem, dtype=dt),
-                jnp.dot(dR, r, precision=_HP))
+            Greg = G + reg * jnp.eye(accel_mem, dtype=dt)
+            rhs = jnp.dot(dR, r, precision=_HP)
+
+            # tiny PSD solve by fixed-trip CG: jnp.linalg.solve lowers to
+            # an LU the TPU backend only implements for f32 (an f64 batch
+            # under vmap fails to compile), and CG on a regularized
+            # (mem, mem) Gram is exact to machine precision in <= mem
+            # steps anyway
+            def cg(_, s):
+                x, rr, p, rs = s
+                Gp = jnp.dot(Greg, p, precision=_HP)
+                den = p @ Gp
+                ok = den > 1e-300
+                a = jnp.where(ok, rs / jnp.where(ok, den, 1.0), 0.0)
+                x = x + a * p
+                rr = rr - a * Gp
+                rs_new = rr @ rr
+                beta = jnp.where(ok, rs_new / jnp.maximum(rs, 1e-300), 0.0)
+                return x, rr, rr + beta * p, rs_new
+
+            gam, _, _, _ = jax.lax.fori_loop(
+                0, 2 * accel_mem, cg,
+                (jnp.zeros_like(rhs), rhs, rhs, rhs @ rhs))
             wAA = wF - jnp.dot(gam, dW + dR, precision=_HP)
             # the AA correction is O(residual) near the fixed point; scale
             # an outsized one back to accel_clamp * ||r|| (ill-conditioned
