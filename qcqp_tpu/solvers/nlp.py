@@ -93,7 +93,7 @@ def _al_newton_parts(form: QCQPForm, x, lmb, mu):
 
 
 @partial(jax.jit, static_argnames=("num_outer", "num_inner", "bb_outer_n",
-                                   "bb_inner"))
+                                   "bb_inner", "grad_tol", "feas_tol"))
 def improve_nlp(form: QCQPForm, x0, num_outer: int = 4, num_inner: int = 25,
                 mu0: float = 10.0, grad_tol: float = 1e-8,
                 feas_tol: float = 1e-8, bb_outer_n: int = 15,

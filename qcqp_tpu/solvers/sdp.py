@@ -220,14 +220,19 @@ class SDPSolution(NamedTuple):
     status_code: jax.Array = None   # one of STATUS_* (None for old callers)
 
 
-def _power_maxeig(M, iters: int = 30):
+def _power_maxeig(M, iters: int = 60):
     """Largest eigenvalue of symmetric M by shifted power iteration —
     matmul-only (no eigh), so the certificate checks run on the device path
-    too.  M + cI with c = ||M||_F is PSD and shares eigenvectors with M."""
+    too.  M + cI with c = ||M||_F is PSD and shares eigenvectors with M.
+    v0 is a deterministically perturbed ramp (ADVICE r4: a constant v0 can
+    be near-orthogonal to the top eigenvector — e.g. any eigenvector with a
+    zero mean — making the Rayleigh quotient underestimate maxeig and
+    letting a non-certificate pass the `mx <= ctol` test)."""
     N = M.shape[0]
     c = jnp.sqrt(jnp.sum(M * M)) + 1e-30
     Ms = M + c * jnp.eye(N, dtype=M.dtype)
-    v0 = jnp.full((N,), 1.0 / jnp.sqrt(N), M.dtype)
+    v0 = 1.0 + 0.3 * jnp.sin(jnp.arange(N, dtype=M.dtype))
+    v0 = v0 / jnp.linalg.norm(v0)
 
     def body(_, v):
         w = jnp.dot(Ms, v, precision=_HP)
@@ -376,12 +381,22 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         v = w[2 * N * N + k:]
         return Y, t, U, v
 
+    # The stall exit only fires once the best residual is already near the
+    # dtype's achievable floor (ADVICE r4: hard f64 instances can plateau
+    # above tol for >stall_iters before dropping — exiting there would
+    # silently change check_status behavior for solves that WOULD converge).
+    # 1e4*eps is 1.2e-3 for f32 — above every measured f32 floor (3e-5 ..
+    # 2.7e-4) so the f32 stall behavior is unchanged — and 2.2e-12 for f64,
+    # where the exit only triggers at genuine machine-precision floors.
+    stall_floor = 1e4 * float(jnp.finfo(dt).eps)
+
     def cond(c):
         # stall exit: once the best iterate hasn't improved for
-        # stall_iters iterations the dtype's residual floor is reached —
-        # spinning to max_iters buys nothing (the circle-packing f32 SDR
-        # floors at ~9e-5 and used to burn its whole 20000-iteration cap)
-        stalled = c["it"] - c["improve_it"] > stall_iters
+        # stall_iters iterations AND that best is near the dtype residual
+        # floor, spinning to max_iters buys nothing (the circle-packing
+        # f32 SDR floors at ~9e-5 and used to burn its whole cap)
+        stalled = (c["it"] - c["improve_it"] > stall_iters) & \
+            (jnp.maximum(c["best_rp"], c["best_rd"]) <= stall_floor)
         return (c["it"] < max_iters) & ~stalled & \
                ((c["rp"] > tol) | (c["rd"] > tol)) & \
                (c["status"] == STATUS_OK)
@@ -406,13 +421,22 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         rd = rho * jnp.sqrt(jnp.sum((Yn - Y) ** 2) + jnp.sum((tn - t) ** 2))
 
         if detect_certificates:
+            # Skip the first interval (lam_c/Y_c start at zeros, so the
+            # first "delta" is the raw iterate, not an inter-interval
+            # difference) and require the SAME classification on two
+            # consecutive intervals before exiting (ADVICE r4: a one-shot
+            # test on a noisy delta can misclassify a feasible problem).
             do_chk = (c["it"] % cert_interval == cert_interval - 1) & \
-                (rp > 10.0 * tol)
-            status = jax.lax.cond(
+                (c["it"] >= 2 * cert_interval - 1) & (rp > 10.0 * tol)
+            cand = jax.lax.cond(
                 do_chk,
                 _check_certs,
-                lambda args: status,
+                lambda args: jnp.asarray(STATUS_OK, jnp.int32),
                 (lam - c["lam_c"], Yn - c["Y_c"], tn - c["t_c"]))
+            confirmed = do_chk & (cand != STATUS_OK) & \
+                (cand == c["cert_cand"])
+            status = jnp.where(confirmed, cand, status)
+            c["cert_cand"] = jnp.where(do_chk, cand, c["cert_cand"])
             c["lam_c"] = jnp.where(do_chk, lam, c["lam_c"])
             c["Y_c"] = jnp.where(do_chk, Yn, c["Y_c"])
             c["t_c"] = jnp.where(do_chk, tn, c["t_c"])
@@ -456,10 +480,19 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
             # 1-pair memory re-fires immediately after each reset and can
             # limit-cycle on a bad region (seen: rp stuck at 3.7 for 20000
             # iterations on a run that converges in ~1600 with this fix).
-            bad = (~jnp.isfinite(rnorm)) | \
-                (rnorm > accel_slack * c["rnorm_last"])
+            # Rescale iterations are excluded from the `bad` test (ADVICE
+            # r4): the dual rescale itself jumps rnorm, and the revert
+            # point w_last + r_last holds duals saved under the PREVIOUS
+            # rho — reverting there with the rescaled rho carried forward
+            # would leave (U, v) inconsistent with rho by up to the
+            # factor.  `reset` already flushes the memory on a rescale,
+            # and rnorm_last is set to inf below so the polluted rnorm of
+            # this iteration never becomes the next baseline either.
+            resc = factor != 1.0
+            bad = ((~jnp.isfinite(rnorm)) |
+                   (rnorm > accel_slack * c["rnorm_last"])) & ~resc
             wF_prev = c["w_last"] + c["r_last"]
-            reset = bad | (factor != 1.0)
+            reset = bad | resc
             hlen = jnp.where(reset, 0, c["hlen"])
             dW = jnp.where(reset, 0.0, c["dW"])
             dR = jnp.where(reset, 0.0, c["dR"])
@@ -519,8 +552,8 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
             c.update(dW=dW, dR=dR,
                      w_last=jnp.where(bad, c["w_last"], w),
                      r_last=jnp.where(bad, c["r_last"], r),
-                     rnorm_last=jnp.where(bad, jnp.asarray(jnp.inf, dt),
-                                          rnorm),
+                     rnorm_last=jnp.where(bad | resc,
+                                          jnp.asarray(jnp.inf, dt), rnorm),
                      hlen=hnew, cool=cool)
 
         c.update(Y=Yn, t=tn, U=Un, v=vn, V=V, rho=rho_n, it=c["it"] + 1,
@@ -531,6 +564,7 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
     carry = dict(Y=Y0, t=t0, U=U0, v=v0, V=V0, rho=jnp.asarray(rho0, dt),
                  it=jnp.asarray(0), rp=big, rd=big,
                  lam_c=jnp.zeros(k, dt), Y_c=Y0, t_c=t0,
+                 cert_cand=jnp.asarray(STATUS_OK, jnp.int32),
                  best_Y=Y0, best_t=t0, best_rp=big, best_rd=big,
                  improve_it=jnp.asarray(0),
                  status=jnp.asarray(status0, jnp.int32))
@@ -574,6 +608,32 @@ def _sdr_data(form: QCQPForm) -> SDPData:
 # device-first acceptance test (ADVICE r3: a hardcoded duplicate let the
 # fallback decision and the status gate diverge if inacc_tol was overridden).
 _INACC_TOL = 1e-4
+
+# Unscaled-coordinate acceptance gate (relative, per-row-normalized); see
+# _unscaled_rel_viol.  10x the scaled gate: Ruiz distortion of a residual is
+# bounded by max(D_i D_j)/scale, measured < 10 on the golden set.
+_UNSCALED_VIOL_TOL = 10 * _INACC_TOL
+
+
+def _unscaled_rel_viol(form: QCQPForm, X):
+    """Max relative affine violation of the lifted X in ORIGINAL (pre-Ruiz)
+    coordinates (ADVICE r4: after Ruiz equilibration all loop residuals live
+    in scaled coordinates, so on badly scaled problems — exactly the ones
+    Ruiz targets — a scaled-converged X can carry an unscaled violation
+    inflated by up to max(D_i D_j)/scale).  OSQP-style: each row residual is
+    normalized by its own data norm and the solution magnitude, so the gate
+    is scale-free."""
+    M = homogeneous_forms(form)              # (m+1, N, N)
+    Xn = 1.0 + jnp.linalg.norm(X)
+    vals = jnp.einsum("kij,ij->k", M[1:], X)
+    if form.m:
+        rown = jnp.maximum(
+            jnp.linalg.norm(M[1:].reshape(form.m, -1), axis=1), 1e-12)
+        v = jnp.where(form.is_eq, jnp.abs(vals), jnp.maximum(vals, 0.0))
+        vmax = jnp.max(v / (rown * Xn))
+    else:
+        vmax = jnp.zeros((), form.dtype)
+    return float(jnp.maximum(vmax, jnp.abs(X[-1, -1] - 1.0) / Xn))
 
 
 class InfeasibleRelaxationError(RuntimeError):
@@ -644,8 +704,64 @@ def _relaxation_device(device):
     return device
 
 
+def _spectral_rel_viol(form: QCQPForm, X):
+    """Unscaled relative violation of the AGGREGATED spectral constraints
+    (the relaxation only enforces the two summed rows, not each original
+    one — see _spectral_data)."""
+    M = homogeneous_forms(form)
+    ineq_mask = (~form.is_eq).astype(form.dtype)
+    eq_mask = form.is_eq.astype(form.dtype)
+    W1 = jnp.einsum("i,ijk->jk", ineq_mask, M[1:])
+    W2 = jnp.einsum("i,ijk->jk", eq_mask, M[1:])
+    Xn = 1.0 + jnp.linalg.norm(X)
+    v1 = jnp.maximum(jnp.sum(W1 * X), 0.0) / \
+        (jnp.maximum(jnp.linalg.norm(W1), 1e-12) * Xn)
+    v2 = jnp.abs(jnp.sum(W2 * X)) / \
+        (jnp.maximum(jnp.linalg.norm(W2), 1e-12) * Xn)
+    return float(jnp.maximum(jnp.maximum(v1, v2),
+                             jnp.abs(X[-1, -1] - 1.0) / Xn))
+
+
+def _affine_farkas_infeasible(form: QCQPForm) -> bool:
+    """Host-f64 build-time Farkas pre-check for the SDR affine system
+    (VERDICT r4 #5): classify contradictory-equality problems BEFORE the
+    f32 device attempt instead of after ~12000 wasted device iterations
+    plus the host fallback.
+
+    Mirrors build_sdp's inconsistency residual — the component of b outside
+    range([A, diag(d)]) certifies primal infeasibility (reference-stack
+    parity: ECOS/SCS classify in one solve, qcqp/qcqp.py:94-95) — but runs
+    in numpy float64 on the host because the TPU's f32 eigh computes the
+    pseudo-inverse inaccurately enough to misclassify feasible problems
+    (measured round 4, BASELINE.md).  Row consistency is Ruiz-invariant, so
+    no equilibration is needed.  Cost: one (k, N^2) x (N^2, k) host matmul
+    + a (k, k) eigh — milliseconds — plus one device->host pull of the
+    form tensors."""
+    import numpy as np
+    M = np.asarray(homogeneous_forms(form), dtype=np.float64)   # (m+1,N,N)
+    N = M.shape[-1]
+    m = form.m
+    Wf = M[1:].reshape(m, N * N)
+    E = np.zeros((1, N * N))
+    E[0, -1] = 1.0
+    Wf = np.concatenate([Wf, E], axis=0)                        # (k, N^2)
+    b = np.zeros(m + 1)
+    b[-1] = 1.0
+    d = np.concatenate([~np.asarray(form.is_eq), [False]]).astype(float)
+    scale = np.maximum(np.linalg.norm(Wf, axis=1), 1e-12)
+    Wf /= scale[:, None]
+    b /= scale
+    d /= scale
+    K = Wf @ Wf.T + np.diag(d * d)
+    lam, V = np.linalg.eigh(K)
+    lam_inv = np.where(lam > 1e-10 * lam.max(), 1.0 / lam, 0.0)
+    w = b - K @ ((V * lam_inv) @ (V.T @ b))
+    return float(np.linalg.norm(w) / max(np.linalg.norm(b), 1.0)) > 1e-6
+
+
 def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
-                  init: SDPState = None, solver_kwargs: dict = None):
+                  init: SDPState = None, solver_kwargs: dict = None,
+                  uviol_fn=None, farkas_precheck: bool = False):
     """Returns (sol, eff_tol): eff_tol is the dtype-achievable tolerance the
     status gate should be checked against.
 
@@ -667,12 +783,47 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
         # classification is worse than a slow fallback.  Infeasible
         # problems fail the residual gate below and get classified by the
         # host f64 re-solve, whose certificates are trustworthy.
+        # Host-f64 Farkas pre-check (VERDICT r4 #5): contradictory-equality
+        # forms classify here in milliseconds instead of paying the full
+        # device attempt + retry + host re-solve.  Only the SDR path sets
+        # farkas_precheck (the spectral relaxation aggregates rows, so the
+        # per-row system is not its affine system).
+        if farkas_precheck and form.m > 0 and \
+                sk.get("detect_certificates", True) and \
+                _affine_farkas_infeasible(form):
+            Nn = form.n + 1
+            inf_ = jnp.asarray(jnp.inf, form.dtype)
+            return SDPSolution(
+                jnp.zeros((Nn, Nn), form.dtype), inf_, jnp.asarray(0),
+                inf_, inf_, None,
+                jnp.asarray(STATUS_INFEASIBLE, jnp.int32)), tol
+
         dev_sk = dict(sk)
         dev_sk.setdefault("detect_certificates", False)
+
+        def _accept(s):
+            # scaled residual gate + unscaled-coordinate violation gate
+            # (ADVICE r4): a Ruiz-scaled-converged X must also satisfy the
+            # ORIGINAL constraints to a scale-free tolerance before the
+            # f32 device result is accepted.
+            if float(s.primal_res) > _INACC_TOL or \
+                    float(s.dual_res) > _INACC_TOL:
+                return False
+            if uviol_fn is None:
+                return True
+            uv = uviol_fn(form, s.X)
+            if uv > _UNSCALED_VIOL_TOL:
+                import logging
+                logging.getLogger("qcqp_tpu").debug(
+                    "device f32 SDP passed the scaled gate but carries "
+                    "%.2e unscaled relative violation (> %.0e)", uv,
+                    _UNSCALED_VIOL_TOL)
+                return False
+            return True
+
         sol, eff = _solve_single(data_fn, form, max_iters, tol, "device",
                                  init=init, solver_kwargs=dev_sk)
-        rp, rd = float(sol.primal_res), float(sol.dual_res)
-        if rp <= _INACC_TOL and rd <= _INACC_TOL:
+        if _accept(sol):
             return sol, eff
         if "warm_sweeps" not in dev_sk:
             # Retry once with 3 Jacobi sweeps, warm-started from the
@@ -684,9 +835,9 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
             sol3, eff3 = _solve_single(data_fn, form, max_iters, tol,
                                        "device", init=sol.state,
                                        solver_kwargs=sk3)
-            rp, rd = float(sol3.primal_res), float(sol3.dual_res)
-            if rp <= _INACC_TOL and rd <= _INACC_TOL:
+            if _accept(sol3):
                 return sol3, eff3
+        rp, rd = float(sol.primal_res), float(sol.dual_res)
         import logging
         logging.getLogger("qcqp_tpu").debug(
             "on-device f32 SDP attempt discarded (residuals %.2e / %.2e "
@@ -736,7 +887,9 @@ def solve_sdr(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
     instead of the (X, bound) pair.
     """
     sol, eff_tol = _solve_single(_sdr_data, form, max_iters, tol, device,
-                                 init=warm, solver_kwargs=solver_kwargs)
+                                 init=warm, solver_kwargs=solver_kwargs,
+                                 uviol_fn=_unscaled_rel_viol,
+                                 farkas_precheck=True)
     if check:
         check_status(sol, eff_tol)
     if full:
@@ -812,7 +965,8 @@ def solve_spectral(form: QCQPForm, max_iters: int = 20000, tol: float = 1e-8,
     all '<=' rows summed into one constraint, all '==' rows into another,
     then the lifted SDP is solved and x recovered from the top eigenpair.
     """
-    sol, eff_tol = _solve_single(_spectral_data, form, max_iters, tol, device)
+    sol, eff_tol = _solve_single(_spectral_data, form, max_iters, tol, device,
+                                 uviol_fn=_spectral_rel_viol)
     if check:
         check_status(sol, eff_tol)
     lam, V = jnp.linalg.eigh(sol.X)   # X symmetric: eigh == reference's eig

@@ -113,3 +113,13 @@ def test_nlp_nonconvex_still_feasible():
     v0 = float(max_violation(form, x0))
     v = float(max_violation(form, x))
     assert v <= v0 + 1e-9
+
+
+def test_nlp_explicit_tolerance_kwargs():
+    """grad_tol/feas_tol are trace-time constants (jit static args): passing
+    them explicitly must not raise ConcretizationTypeError (ADVICE r4
+    medium) and must still produce an improved point."""
+    form = _convex_instance(5, n=6, m_in=3)
+    x0 = jnp.asarray(np.random.default_rng(5).standard_normal(6))
+    x = improve_nlp(form, x0, grad_tol=1e-6, feas_tol=1e-6)
+    assert np.all(np.isfinite(np.asarray(x)))

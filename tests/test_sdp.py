@@ -273,3 +273,42 @@ def test_anderson_acceleration_iteration_count():
                       rtol=1e-6, atol=1e-6)
     assert int(accel.iterations) <= int(plain.iterations) // 2
     assert int(accel.iterations) < 2000
+
+
+def test_affine_farkas_precheck_host():
+    """The host-f64 numpy Farkas pre-check (run before any f32 device
+    attempt, VERDICT r4 #5) classifies contradictory equalities and leaves
+    feasible instances alone."""
+    n = 3
+    P = np.zeros((3, n, n))
+    q = np.zeros((3, n))
+    r = np.zeros(3)
+    q[1, 0] = 1.0
+    q[2, 0] = 1.0
+    r[2] = -1.0
+    bad = core.make_form(P.astype(np.float32), q.astype(np.float32),
+                         r.astype(np.float32), [True, True])
+    assert sdp._affine_farkas_infeasible(bad)
+
+    r2 = r.copy()
+    r2[2] = 0.0          # both rows say x0 == 0: consistent
+    ok = core.make_form(P.astype(np.float32), q.astype(np.float32),
+                        r2.astype(np.float32), [True, True])
+    assert not sdp._affine_farkas_infeasible(ok)
+
+    from .test_cd import boolean_ls_form
+    form, _, _ = boolean_ls_form(n=8, m=12, seed=3)
+    assert not sdp._affine_farkas_infeasible(form)
+
+
+def test_unscaled_rel_viol_gate():
+    """A converged SDR solution passes the unscaled-coordinate violation
+    gate (ADVICE r4: Ruiz-scaled residuals alone can hide an unscaled
+    violation), and a garbage X fails it."""
+    from .test_cd import boolean_ls_form
+    form, _, _ = boolean_ls_form(n=8, m=12, seed=3)
+    X, _ = sdp.solve_sdr(form, max_iters=20000, tol=1e-9)
+    assert sdp._unscaled_rel_viol(form, jnp.asarray(X)) < 1e-6
+    Xbad = jnp.eye(form.n + 1, dtype=form.dtype) * 3.0
+    Xbad = Xbad.at[-1, -1].set(1.0)
+    assert sdp._unscaled_rel_viol(form, Xbad) > sdp._UNSCALED_VIOL_TOL
