@@ -132,30 +132,15 @@ def jacobi_sweeps(A, V0=None, sweeps: int = 2):
     return lam, V
 
 
-def _jacobi_vec_kernel(A_ref, lam_ref, V_ref, *, n: int, K: int,
-                       sweeps: int, rounds: int = None):
-    """Vectorized round-robin Jacobi: K matrices per grid cell, ZERO matmuls.
-
-    The MXU formulation (below) spends 4 n^3 matmuls per round although a
-    Givens J has only 2 nonzeros per row and the reseat Pi is a permutation:
-    both are O(n^2) data movement.  Here each round is pure VPU work on the
-    (K, n, n) stack:
-
-      * J two-sided apply = masked adjacent-row/column swaps (roll +-1)
-        combined with the per-pair (cs, sn) coefficients — rows first, then
-        columns, coefficients computed from the pre-update A on both axes
-        (bitwise equal by symmetry, so no sublane<->lane relayout);
-      * the tournament reseat sigma (see tournament_permutation) is two
-        interleaved +-2 cyclic shifts with 3 boundary fixups (slots 0, 2,
-        n-1) = rolls + masked selects on each axis.
-
-    Per round: ~30 elementwise ops on (K, n, n) instead of 4 K n^3 MXU
-    FLOPs — ~n/8 less arithmetic, and the VPU does it at f32 without the
-    multi-pass penalty f32 MXU matmuls pay.
-    """
+def vec_round_ctx(n: int):
+    """Build the vectorized tournament-Jacobi round body for (K, n, n)
+    stacks, reusable inside ANY Pallas kernel (the whole-loop SDP kernel
+    inlines it for its cone projection).  Returns (round_body, eye3) where
+    round_body(_, (A, V)) performs ONE round: J^T A J, V <- V J, then the
+    tournament reseat on both — see _jacobi_vec_kernel's docstring for the
+    scheme.  eye3 is the (1, n, n) identity (diag extraction mask)."""
     f32 = jnp.float32
     i32 = jnp.int32
-    A = A_ref[:]                                         # (K, n, n)
     ri = jax.lax.broadcasted_iota(i32, (1, n, 1), 1)
     ci = jax.lax.broadcasted_iota(i32, (1, 1, n), 2)
     even_r = (ri % 2) == 0
@@ -228,6 +213,32 @@ def _jacobi_vec_kernel(A_ref, lam_ref, V_ref, *, n: int, K: int,
         V = perm_c(V)                                    # V Pi
         return A, V
 
+    return round_body, eye
+
+
+def _jacobi_vec_kernel(A_ref, lam_ref, V_ref, *, n: int, K: int,
+                       sweeps: int, rounds: int = None):
+    """Vectorized round-robin Jacobi: K matrices per grid cell, ZERO matmuls.
+
+    The MXU formulation (below) spends 4 n^3 matmuls per round although a
+    Givens J has only 2 nonzeros per row and the reseat Pi is a permutation:
+    both are O(n^2) data movement.  Here each round is pure VPU work on the
+    (K, n, n) stack:
+
+      * J two-sided apply = masked adjacent-row/column swaps (roll +-1)
+        combined with the per-pair (cs, sn) coefficients — rows first, then
+        columns, coefficients computed from the pre-update A on both axes
+        (bitwise equal by symmetry, so no sublane<->lane relayout);
+      * the tournament reseat sigma (see tournament_permutation) is two
+        interleaved +-2 cyclic shifts with 3 boundary fixups (slots 0, 2,
+        n-1) = rolls + masked selects on each axis.
+
+    Per round: ~30 elementwise ops on (K, n, n) instead of 4 K n^3 MXU
+    FLOPs — ~n/8 less arithmetic, and the VPU does it at f32 without the
+    multi-pass penalty f32 MXU matmuls pay.
+    """
+    round_body, eye = vec_round_ctx(n)
+    A = A_ref[:]                                         # (K, n, n)
     V0 = jnp.broadcast_to(eye, (K, n, n))
     total = sweeps * (n - 1) if rounds is None else rounds
     A, V = jax.lax.fori_loop(jnp.int32(0), jnp.int32(total),

@@ -176,6 +176,54 @@ def _cone_proj_warm(X, s, V, sweeps=2):
     return _sym(Xp), jnp.maximum(s, 0.0), Vn
 
 
+def _cone_proj_ns(X, s, ns_steps: int = 12):
+    """PSD projection via a Newton-Schulz matrix-sign iteration — pure MXU
+    matmuls, no eigendecomposition, no cross-iteration state (round 5).
+
+        X_+ = (X + |X|)/2,   |X| = sign(X) X,
+
+    with sign(X) from `ns_steps` quintic NS steps f(S) = (15S - 10S^3 +
+    3S^5)/8 — the minimax-monotone odd quintic: f([-1,1]) = [-1,1],
+    f'(0) = 15/8, so k steps resolve eigenvalues down to ~(8/15)^k of the
+    spectral norm; smaller ones are SOFT-clamped with error proportional to
+    their own magnitude (benign for a cone projection).  The iterate is
+    normalized by a power-iteration spectral-norm estimate (8 matvecs).
+
+    Replaces the warm-Jacobi projection on the f32 device path: measured
+    (round 5, n=100 boolean-LS SDR, v5e) 2123 iterations / 111 ms at the
+    same 3e-5 floor vs 2157 / 320 ms for the 1-sweep warm-Jacobi — the
+    Jacobi rounds' VPU cost and the eigenbasis/sort bookkeeping were the
+    whole per-iteration bill.  Requires precision=HIGHEST: the small-
+    eigenvalue signal must survive ~3k chained matmuls (default bf16
+    matmuls diverge, measured).  Exactness also restores the fixed-point
+    map's stationarity, which the warm-Jacobi path broke (Anderson
+    acceleration measurably fails there even at 6 sweeps — round-5 exp)."""
+    Xs = _sym(X)
+    n = Xs.shape[0]
+    v0 = 1.0 + 0.01 * jnp.arange(n, dtype=Xs.dtype)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def pw(_, v):
+        w = jnp.dot(Xs, jnp.dot(Xs, v, precision=_HP), precision=_HP)
+        return w / (jnp.linalg.norm(w) + 1e-30)
+
+    v1 = jax.lax.fori_loop(0, 8, pw, v0)
+    w1 = jnp.dot(Xs, v1, precision=_HP)
+    smax = jnp.sqrt(jnp.dot(w1, w1)) * 1.05 + 1e-30
+    Z = Xs / smax
+
+    def ns(_, S):
+        S2 = jnp.dot(S, S, precision=_HP)
+        S4 = jnp.dot(S2, S2, precision=_HP)
+        M = -10.0 * S2 + 3.0 * S4
+        return (15.0 * S + jnp.dot(S, M, precision=_HP)) / 8.0
+
+    S = jax.lax.fori_loop(0, ns_steps, ns, Z)
+    absX = smax * jnp.dot(S, Z, precision=_HP)
+    Xp = _sym(0.5 * (Xs + absX))
+    return Xp, jnp.maximum(s, 0.0)
+
+
 def _cone_proj_vec(X, s, V, sweeps=2):
     """PSD projection via the warm-started *vectorized* Jacobi Pallas kernel
     (kernels/eigh_pallas.eigh_jacobi_vec): same warm-rotation scheme as
@@ -243,14 +291,15 @@ def _power_maxeig(M, iters: int = 60):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "psd_method", "warm_sweeps",
-                                   "detect_certificates", "accel_mem"))
+                                   "detect_certificates", "accel_mem",
+                                   "ns_steps"))
 def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
               rho0: float = 1.0, alpha: float = None, psd_method: str = "eigh",
               warm_sweeps: int = 2, init: SDPState = None,
               detect_certificates: bool = True, cert_interval: int = 100,
               accel_mem: int = 20, accel_slack: float = 1.2,
               accel_cooldown: int = 2, accel_clamp: float = 100.0,
-              stall_iters: int = 3000):
+              stall_iters: int = 3000, ns_steps: int = 12):
     """Run the splitting loop until residuals drop below tol.
 
     psd_method:
@@ -258,8 +307,9 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
       "warm" — warm-started Jacobi sweeps in the running eigenbasis
                (matmul-only; the batched on-device path, see _cone_proj_warm)
       "vec"  — warm-started vectorized-Jacobi Pallas kernel (single
-               pallas_call per projection; the single-instance on-device
-               path, see _cone_proj_vec)
+               pallas_call per projection; see _cone_proj_vec)
+      "ns"   — Newton-Schulz matrix-sign projection (matmul-only,
+               stateless; the on-device default, see _cone_proj_ns)
     init: a previous SDPSolution.state to warm-start from (same shapes).
 
     Anderson acceleration (VERDICT r3 weak #2: ~3000 plain splitting
@@ -412,6 +462,8 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
             Yn, tn, V = _cone_proj_warm(Xr + U, sr + v, V, warm_sweeps)
         elif psd_method == "vec":
             Yn, tn, V = _cone_proj_vec(Xr + U, sr + v, V, warm_sweeps)
+        elif psd_method == "ns":
+            Yn, tn = _cone_proj_ns(Xr + U, sr + v, ns_steps)
         else:
             Yn, tn = _cone_proj(Xr + U, sr + v)
         Un = U + Xr - Yn
@@ -592,7 +644,10 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
 # QCQP-facing entry points (the reference's solve_sdr / solve_spectral)
 # ---------------------------------------------------------------------------
 
+@jax.jit
 def _sdr_data(form: QCQPForm) -> SDPData:
+    """(jitted: the eager build's ~40 separate dispatches cost ~800 ms over
+    the axon tunnel vs 26 ms compiled — measured round 5, n=100)"""
     M = homogeneous_forms(form)        # (m+1, N, N)
     W0, Wc = M[0], M[1:]
     N = W0.shape[0]
@@ -825,13 +880,13 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
                                  init=init, solver_kwargs=dev_sk)
         if _accept(sol):
             return sol, eff
-        if "warm_sweeps" not in dev_sk:
-            # Retry once with 3 Jacobi sweeps, warm-started from the
-            # 2-sweep floor: the extra sweep drops the inequality-heavy
-            # instances' f32 residual floor under the acceptance gate
-            # (circle packing: 2.7e-4 -> 8.7e-5 with Ruiz) but costs ~50%
-            # per iteration, so the common case keeps the 2-sweep path.
-            sk3 = dict(dev_sk, warm_sweeps=3)
+        if "ns_steps" not in dev_sk:
+            # Retry once with a deeper (20-step) Newton-Schulz sign
+            # iteration, warm-started from the 12-step floor: the extra
+            # steps resolve eigenvalues ~150x closer to zero, dropping the
+            # residual floor on inequality-heavy instances, but cost ~60%
+            # per iteration — the common case keeps the 12-step path.
+            sk3 = dict(dev_sk, ns_steps=20)
             sol3, eff3 = _solve_single(data_fn, form, max_iters, tol,
                                        "device", init=sol.state,
                                        solver_kwargs=sk3)
@@ -860,13 +915,17 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
     if form.dtype == jnp.float32:
         tol = max(tol, _F32_TOL_FLOOR)
         if jax.default_backend() != "cpu" and form.n + 1 <= 256:
-            psd = "vec"
-    if psd == "vec":
-        # Anderson acceleration assumes a consistent fixed-point map; the
-        # 2-sweep warm-Jacobi cone projection is inexact enough to stall
-        # the accelerated loop at ~8e-4 residuals (measured, BASELINE.md
-        # r4).  Plain alpha=1.0 converges this path (2.9e-5 in 2144 iters
-        # on the n=100 boolean-LS SDR) where alpha=1.6 stalls at 5e-3.
+            psd = "ns"
+    if psd == "ns":
+        # Newton-Schulz projection (round 5): 2123 iters / 111 ms on the
+        # n=100 boolean-LS SDR vs 2157 / 320 ms for 1-sweep warm-Jacobi —
+        # see _cone_proj_ns.  Anderson acceleration DOES fire on this
+        # near-exact stateless map (804 iters at ns_steps=16, vs a
+        # measured stall on every warm-Jacobi configuration), but its
+        # XLA-level per-iteration overhead (ring-buffer updates + (mem, D)
+        # matvecs) makes it net SLOWER (157 ms) than the plain loop, so it
+        # stays off; alpha > 1 over-relaxation diverges here with either
+        # projection (measured 8000-iter stall at 1.3 and 1.6).
         sk = dict(sk)
         sk.setdefault("accel_mem", 0)
         sk.setdefault("alpha", 1.0)
@@ -903,11 +962,11 @@ def solve_sdr_batch(stacked: QCQPForm, max_iters: int = 5000,
     """Scenario-batched SDR: vmapped splitting solver over stacked instances.
 
     This is the accelerator-resident path.  psd_method "auto" picks the
-    warm-started Jacobi cone projection for float32 (device) data — under
-    vmap its rotation rounds become batched MXU matmuls, measured >100x
-    faster than the vmapped eigh on a v5e chip *and* more accurate (XLA's
-    f32 TPU eigh stalls near 1e-2 residuals; warm reaches ~5e-5) — and the
-    exact eigh for float64 (host) data.
+    Newton-Schulz sign projection for float32 (device) data — stateless
+    batched MXU matmuls (see _cone_proj_ns; round 5 — previously the
+    warm-started Jacobi rotations, themselves >100x the vmapped eigh,
+    which stalls near 1e-2 residuals in f32 on TPU) — and the exact eigh
+    for float64 (host) data.
 
     warm: batched SDPState from a previous call (serving loops over
     slowly-drifting instance banks re-solve warm).  return_state=True appends
@@ -916,12 +975,15 @@ def solve_sdr_batch(stacked: QCQPForm, max_iters: int = 5000,
     [, states]).
     """
     if psd_method == "auto":
-        psd_method = "warm" if stacked.dtype == jnp.float32 else "eigh"
+        psd_method = "ns" if stacked.dtype == jnp.float32 else "eigh"
 
-    # acceleration off on the inexact warm-Jacobi projection paths (it
-    # stalls the loop — see _solve_single); the exact-eigh batch keeps it
-    accel = 0 if psd_method in ("warm", "vec") else 20
-    alpha = 1.6 if psd_method in ("warm", "vec") else None
+    # acceleration off on the device projections: it stalls on the inexact
+    # warm-Jacobi map, and on the exact-enough NS map it fires but costs
+    # more per iteration than it saves (see _solve_single); the exact-eigh
+    # batch keeps it.  alpha > 1 diverges with NS (measured).
+    accel = 0 if psd_method in ("warm", "vec", "ns") else 20
+    alpha = 1.0 if psd_method == "ns" else (
+        1.6 if psd_method in ("warm", "vec") else None)
 
     def one(P, q, r, is_eq, init):
         form = QCQPForm(P, q, r, is_eq)
@@ -943,6 +1005,7 @@ def solve_sdr_batch(stacked: QCQPForm, max_iters: int = 5000,
     return X, obj, rp, rd
 
 
+@jax.jit
 def _spectral_data(form: QCQPForm) -> SDPData:
     M = homogeneous_forms(form)
     W0 = M[0]

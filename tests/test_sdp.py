@@ -312,3 +312,34 @@ def test_unscaled_rel_viol_gate():
     Xbad = jnp.eye(form.n + 1, dtype=form.dtype) * 3.0
     Xbad = Xbad.at[-1, -1].set(1.0)
     assert sdp._unscaled_rel_viol(form, Xbad) > sdp._UNSCALED_VIOL_TOL
+
+
+def test_ns_projection_matches_eigh():
+    """The Newton-Schulz sign projection (the round-5 device cone
+    projection, _cone_proj_ns) matches the exact eigh projection to f32
+    accuracy on random symmetric matrices, with soft-clamp error only at
+    eigenvalues far below the spectral norm."""
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        A = rng.standard_normal((40, 40))
+        A = jnp.asarray(0.5 * (A + A.T), jnp.float64)
+        Xp, _ = sdp._cone_proj_ns(A, jnp.zeros(1, jnp.float64), ns_steps=16)
+        lam, Q = np.linalg.eigh(np.asarray(A))
+        Xref = (Q * np.maximum(lam, 0.0)) @ Q.T
+        err = np.abs(np.asarray(Xp) - Xref).max()
+        assert err < 1e-4 * np.abs(lam).max()
+
+
+def test_solve_sdp_ns_path():
+    """solve_sdp(psd_method='ns') converges the boolean-LS SDR to the same
+    bound as the exact-eigh path (the f32 on-device configuration, run here
+    on CPU f64 for exactness of the comparison)."""
+    from .test_cd import boolean_ls_form
+    form, _, _ = boolean_ls_form(n=8, m=12, seed=3)
+    data = sdp._sdr_data(form)
+    ref = sdp.solve_sdp(data, max_iters=20000, tol=1e-8)
+    ns = sdp.solve_sdp(data, max_iters=20000, tol=1e-8, psd_method="ns",
+                       accel_mem=0, alpha=1.0, detect_certificates=False)
+    np.testing.assert_allclose(float(ns.objective), float(ref.objective),
+                               rtol=1e-5, atol=1e-5)
+    assert float(ns.primal_res) <= 1e-8
