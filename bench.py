@@ -28,11 +28,12 @@ SWEEPS = int(os.environ.get("BENCH_SWEEPS", 10))
 SEED = 0
 # Modeled VPU roofline of the CD mega-kernel at the default bench shape
 # (BASELINE.md "CD mega-kernel roofline").  Round 3 folded the tangency slop
-# into the canonical bounds, cutting the dominant membership check from ~9
-# to ~7 lane-ops/row, which rescales the candidate-sweep bound to ~36000
-# restarts/s (measured 28422 after the change).  Only meaningful at default
-# N/M/R.
-CD_ROOFLINE_RS = 36000.0
+# into the canonical bounds (~9 -> ~7 lane-ops/row, bound ~36000 r/s);
+# round 5's warm-started slack brackets cut the effective bisection trips
+# from ~5.5 to ~4.4 (hopeless coordinates re-certify in one probe), which
+# rescales the candidate-sweep bound to ~45000 restarts/s.  Only meaningful
+# at default N/M/R.
+CD_ROOFLINE_RS = 45000.0
 
 
 def make_problem():
@@ -328,21 +329,37 @@ def run_sdr(P, q, r, is_eq):
     out["sdr_single_ms_host"] = round((time.time() - t0) * 1e3, 1)
     out["sdr_single_iters_host"] = int(host.iterations)
 
-    # scenario-batched serving path (16 instances, bench shape scaled down)
-    S, ns, ms = 16, 24, 12
+    # Scenario-batched serving path: S drifted boolean-LS instances.
+    # BOUNDED relaxations with a per-instance acceptance gate + host-f64
+    # fallback — the old random dense bank had unbounded Shor relaxations,
+    # so its fixed-budget rate carried no quality meaning (VERDICT r4 weak
+    # #5).  The metric is solves/s TO TOLERANCE with the acceptance rate.
+    S, ns = 16, 24
     rng = np.random.default_rng(5)
-    A = rng.standard_normal((S, ms + 1, ns, ns)) / np.sqrt(ns)
-    Ps = 0.5 * (A + np.swapaxes(A, -1, -2))
-    stacked = QCQPForm(jnp.asarray(Ps, dt),
-                       jnp.asarray(rng.standard_normal((S, ms + 1, ns)), dt),
-                       jnp.asarray(rng.standard_normal((S, ms + 1)), dt),
-                       jnp.asarray(np.zeros((S, ms), bool)))
-    Xb, bounds, rp, rd = solve_sdr_batch(stacked, max_iters=2000)
+    base_A = rng.standard_normal((ns + 8, ns))
+    Ps = np.zeros((S, ns + 1, ns, ns))
+    qs = np.zeros((S, ns + 1, ns))
+    rs = np.zeros((S, ns + 1))
+    for si in range(S):
+        A_s = base_A + 0.05 * rng.standard_normal((ns + 8, ns))
+        b_s = rng.standard_normal(ns + 8)
+        Ps[si, 0] = A_s.T @ A_s
+        for i in range(ns):
+            Ps[si, 1 + i, i, i] = 1.0
+        qs[si, 0] = -2.0 * A_s.T @ b_s
+        rs[si, 0] = float(b_s @ b_s)
+        rs[si, 1:] = -1.0
+    stacked = QCQPForm(jnp.asarray(Ps, dt), jnp.asarray(qs, dt),
+                       jnp.asarray(rs, dt),
+                       jnp.asarray(np.ones((S, ns), bool)))
+    kw = dict(max_iters=6000, tol=3e-5, return_accept=True)
+    Xb, bounds, rp, rd, acc = solve_sdr_batch(stacked, **kw)
     _ = float(bounds[0])
     t0 = time.time()
-    Xb, bounds, rp, rd = solve_sdr_batch(stacked, max_iters=2000)
+    Xb, bounds, rp, rd, acc = solve_sdr_batch(stacked, **kw)
     _ = float(bounds[0])
-    out["sdr_batch_solves_per_sec"] = round(S / (time.time() - t0), 2)
+    out["sdr_batch_to_tol_solves_per_sec"] = round(S / (time.time() - t0), 2)
+    out["sdr_batch_accept_rate"] = round(float(np.mean(acc)), 3)
     return out
 
 

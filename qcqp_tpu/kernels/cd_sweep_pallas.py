@@ -39,6 +39,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .onevar_pallas import (LANES, _bisect_accept, _canon_leq,
                             feas_matrix_from_canon,
@@ -102,12 +103,23 @@ def _take_rows(arr, idx):
 
 
 def _phase1_loop(x0, ctx, *, n: int, m: int, eq_idx: tuple, num_iters: int,
-                 tol: float, viol_tol: float, n_bisect: int):
-    """Full phase-1 CD (reference: qcqp/qcqp.py:101-148) on an (n, R) tile."""
+                 tol: float, viol_tol: float, n_bisect: int, wbs_ref=None):
+    """Full phase-1 CD (reference: qcqp/qcqp.py:101-148) on an (n, R) tile.
+
+    wbs_ref: optional (n, 2, R) VMEM scratch carrying each coordinate's
+    resolved slack bracket (certified-infeasible floor, accepted slack)
+    across sweeps (round 5 / VERDICT r4 #2): sweep t+1's bisection starts
+    from a narrow window around sweep t's bracket instead of the full
+    [-tol, viol) range — the trip count, not the per-trip ops, is the
+    mega-kernel's remaining cost (BASELINE.md r4 frontier).  The
+    escalation path inside _bisect_accept keeps the acceptance semantics
+    identical; only trip counts change."""
     f32 = jnp.float32
     refresh_F, viols_from_F, restriction = ctx
     R = x0.shape[-1]
     e = len(eq_idx)
+    if wbs_ref is not None:
+        wbs_ref[:] = jnp.full((n, 2, R), jnp.inf, f32)
 
     def coord_body(k, carry):
         x, F, alive, changed = carry
@@ -145,8 +157,17 @@ def _phase1_loop(x0, ctx, *, n: int, m: int, eq_idx: tuple, num_iters: int,
                 w = jnp.maximum(w, w2)
             return w
 
-        v = _bisect_accept(feasible_point, xk, viol, tol, viol_tol, n_bisect,
-                           viol_of=viol_of)
+        if wbs_ref is not None:
+            wk = wbs_ref[k]                          # (2, R)
+            warm = (wk[0], wk[1])
+        else:
+            warm = None
+        v, (wlo, whi) = _bisect_accept(feasible_point, xk, viol, tol,
+                                       viol_tol, n_bisect, viol_of=viol_of,
+                                       warm=warm)
+        if wbs_ref is not None:
+            wbs_ref[k] = jnp.where(alive[None, :] > 0.5,
+                                   jnp.stack([wlo, whi]), wk)
         v = jnp.where(alive > 0.5, v, xk)
         accept = (v != xk).astype(f32)
         F = t2 * v[None, :] ** 2 + t1 * v[None, :] + t0
@@ -154,24 +175,31 @@ def _phase1_loop(x0, ctx, *, n: int, m: int, eq_idx: tuple, num_iters: int,
         return x, F, alive, jnp.maximum(changed, accept)
 
     def sweep_cond(c):
-        x, F, t, viol_last, changed = c
+        x, F, t, viol_last, changed, retried = c
         alive = ((viol_last >= viol_tol).astype(f32)
                  * changed)
         return (t < num_iters) & (jnp.max(alive) > 0.5)
 
     def sweep_body(c):
-        x, F, t, viol_last, changed = c
+        x, F, t, viol_last, changed, retried = c
         F = refresh_F(x)                             # drift control
         alive = (viol_last >= viol_tol).astype(f32) * changed
         x, F, _, changed_new = jax.lax.fori_loop(
             0, n, coord_body, (x, F, alive, jnp.zeros((R,), f32)))
         viol = jnp.max(viols_from_F(F), axis=0, initial=0.0)
+        # (A freeze-retry guard — one cold sweep with cleared warm state
+        # before a lane's no-change freeze — was measured and REJECTED:
+        # a single retrying lane keeps its whole 128-lane tile sweeping,
+        # costing 40% throughput (37301 -> 21951 r/s) while the
+        # feasibility differences it targeted proved to be trajectory-
+        # reshuffle noise, see tests/test_cd_sweep_pallas.py margins.)
         changed = jnp.where(alive > 0.5, changed_new, changed)
-        return x, F, t + 1, viol, changed
+        return x, F, t + 1, viol, changed, retried
 
     init = (x0, jnp.zeros((m + 1, R), f32), jnp.int32(0),
-            jnp.full((R,), jnp.inf, f32), jnp.ones((R,), f32))
-    x, _, _, _, _ = jax.lax.while_loop(sweep_cond, sweep_body, init)
+            jnp.full((R,), jnp.inf, f32), jnp.ones((R,), f32),
+            jnp.zeros((R,), f32))
+    x, _, _, _, _, _ = jax.lax.while_loop(sweep_cond, sweep_body, init)
     return x
 
 
@@ -307,17 +335,20 @@ def _phase2_loop(x0, ctx, *, n: int, m: int, eq_idx: tuple, num_iters: int,
     return x
 
 
-def _phase1_sweep_kernel(P_ref, P1_ref, qT_ref, r_ref, x_ref, out_ref, *,
+def _phase1_sweep_kernel(P_ref, P1_ref, qT_ref, r_ref, x_ref, out_ref,
+                         wbs_ref, *,
                          n: int, m: int, eq_idx: tuple, num_iters: int,
                          tol: float, viol_tol: float, n_bisect: int):
     eq_idx = tuple(int(i) for i in eq_idx)
     ctx = _make_ctx(P_ref, P1_ref, qT_ref, r_ref, n=n, m=m, eq_idx=eq_idx)
     out_ref[:] = _phase1_loop(x_ref[:], ctx, n=n, m=m, eq_idx=eq_idx,
                               num_iters=num_iters, tol=tol,
-                              viol_tol=viol_tol, n_bisect=n_bisect)
+                              viol_tol=viol_tol, n_bisect=n_bisect,
+                              wbs_ref=wbs_ref)
 
 
-def _two_phase_kernel(P_ref, P1_ref, qT_ref, r_ref, x_ref, out_ref, *,
+def _two_phase_kernel(P_ref, P1_ref, qT_ref, r_ref, x_ref, out_ref,
+                      wbs_ref, *,
                       n: int, m: int, eq_idx: tuple, num_iters: int,
                       tol: float, viol_tol: float, n_bisect: int,
                       phase1: bool):
@@ -327,7 +358,7 @@ def _two_phase_kernel(P_ref, P1_ref, qT_ref, r_ref, x_ref, out_ref, *,
     if phase1:
         x = _phase1_loop(x, ctx, n=n, m=m, eq_idx=eq_idx,
                          num_iters=num_iters, tol=tol, viol_tol=viol_tol,
-                         n_bisect=n_bisect)
+                         n_bisect=n_bisect, wbs_ref=wbs_ref)
     out_ref[:] = _phase2_loop(x, ctx, n=n, m=m, eq_idx=eq_idx,
                               num_iters=num_iters, tol=tol,
                               viol_tol=viol_tol)
@@ -356,6 +387,7 @@ def _call_sweep_kernel(kernel_fn, P, q, r, xs, interpret):
                       bc2((k1, 1)), tile],
             out_specs=tile,
             out_shape=jax.ShapeDtypeStruct((n, R), f32),
+            scratch_shapes=[pltpu.VMEM((n, 2, LANES), f32)],
             interpret=interpret,
         )(P, P1, qT, rr, xsT)
     return out.T

@@ -343,3 +343,28 @@ def test_solve_sdp_ns_path():
     np.testing.assert_allclose(float(ns.objective), float(ref.objective),
                                rtol=1e-5, atol=1e-5)
     assert float(ns.primal_res) <= 1e-8
+
+
+def test_sdr_batch_acceptance_gate_fallback():
+    """Batch instances whose residuals miss the acceptance gate are
+    transparently re-solved on host f64 (VERDICT r4 weak #5: the batch
+    path used to return whatever residuals came out)."""
+    from .test_cd import boolean_ls_form
+    forms = [boolean_ls_form(n=6, m=8, seed=s)[0] for s in (0, 1, 2)]
+    stacked = core.QCQPForm(
+        jnp.stack([f.P for f in forms]), jnp.stack([f.q for f in forms]),
+        jnp.stack([f.r for f in forms]),
+        jnp.stack([f.is_eq for f in forms]))
+    # a 10-iteration budget converges nothing: every instance must arrive
+    # through the host fallback, accepted and matching the single path
+    X, obj, rp, rd, acc = sdp.solve_sdr_batch(stacked, max_iters=10,
+                                              return_accept=True)
+    assert acc.all()
+    assert float(jnp.max(jnp.maximum(rp, rd))) <= sdp._INACC_TOL
+    for i, f in enumerate(forms):
+        _, bound = sdp.solve_sdr(f, max_iters=20000, tol=1e-8)
+        np.testing.assert_allclose(float(obj[i]), float(bound),
+                                   rtol=1e-4, atol=1e-4)
+    # gate=None restores the ungated legacy behavior
+    X2, o2, rp2, rd2 = sdp.solve_sdr_batch(stacked, max_iters=10, gate=None)
+    assert float(jnp.max(rp2)) > sdp._INACC_TOL

@@ -109,13 +109,14 @@ def run_smoke():
 
     # --- SDR bounds on-device, accepted by the residual gate (all four
     # golden relaxations run on-chip with zero host fallbacks, round 4).
-    # The circle row pins the 3-sweep cone projection the auto path
-    # retries with when the 2-sweep f32 floor misses the gate. ---
+    # Round 5: the Newton-Schulz cone projection solves ALL rows at
+    # default knobs — the circle instance no longer needs the deeper-
+    # projection retry its warm-Jacobi f32 floor used to force. ---
     circle = _circle_form(jnp, QCQPForm)
     for name, form, golden, tol, skw in (
             ("sdr_boolean_ls", bls, 28.750, 2e-2, None),
             ("sdr_maxcut", mc, -57.207, 5e-2, None),
-            ("sdr_circle", circle, -5.000, 5e-2, {"warm_sweeps": 3})):
+            ("sdr_circle", circle, -5.000, 5e-2, None)):
         try:
             sol = solve_sdr(form, device="device", check=False, full=True,
                             solver_kwargs=skw)
@@ -177,6 +178,34 @@ def run_smoke():
                "brute_force": round(brute, 4)})
     except Exception as e:  # noqa: BLE001
         check("ccp_boolean_ls", False,
+              {"error": f"{type(e).__name__}: {e}"[:200]})
+
+    # --- infeasibility classifies BEFORE the device attempt (VERDICT r4
+    # #5): an f32 contradictory-equality form must raise the distinct
+    # error type in well under a second via the host-f64 Farkas
+    # pre-check, not after ~12000 wasted device iterations ---
+    try:
+        import numpy as _np
+        from qcqp_tpu.solvers.sdp import InfeasibleRelaxationError
+        n = 3
+        P = _np.zeros((3, n, n), _np.float32)
+        q = _np.zeros((3, n), _np.float32)
+        r = _np.zeros(3, _np.float32)
+        q[1, 0] = 1.0
+        q[2, 0] = 1.0
+        r[2] = -1.0
+        bad = QCQPForm(jnp.asarray(P), jnp.asarray(q), jnp.asarray(r),
+                       jnp.asarray([True, True]))
+        t0 = time.time()
+        try:
+            solve_sdr(bad, max_iters=20000)
+            check("infeasible_precheck", False, {"error": "did not raise"})
+        except InfeasibleRelaxationError:
+            dt = time.time() - t0
+            check("infeasible_precheck", dt < 1.0,
+                  {"seconds": round(dt, 3)})
+    except Exception as e:  # noqa: BLE001
+        check("infeasible_precheck", False,
               {"error": f"{type(e).__name__}: {e}"[:200]})
 
     return not failures, {"checks": details, "failed": failures}
