@@ -53,13 +53,22 @@ from jax.experimental.pallas import tpu as pltpu
 # shape (n=100, m=50, E~25: ~12 MB at L=64).
 L_TILE = 64
 _HP = jax.lax.Precision.HIGHEST
-_N_NEWTON = 15            # matches solvers/ccp.py _hinge_prox
+# Newton trips of the hinge prox.  solvers/ccp.py converges the root to
+# f32 exactness in 15 trips; the fused DEFAULT is 4 (round 5): the
+# anatomy ablation found the 4-trip inexact prox is both 2.4x faster AND
+# ~7x better on median violation (1209 r/s / med 0.23 vs 504 / 1.65 at
+# the bench shape, replicated across restart batches) — a converged
+# hinge projection makes the short warm-dual consensus overshoot, while
+# the softer 4-trip prox conditions it.  2 trips collapses (med 4.9),
+# 6 is intermediate (984 r/s / 0.97) — 4 is the measured optimum on both
+# axes.  Parity tests pass n_newton=15 to match the vmapped path.
+_N_NEWTON = 15
 
 
-def _hinge_prox_tile(vh, lam, qt, rb, weight, rho):
+def _hinge_prox_tile(vh, lam, qt, rb, weight, rho, trips=_N_NEWTON):
     """Masked fixed-trip safeguarded-Newton hinge prox on a (C, L, n) tile.
 
-    Pointwise mirror of solvers/ccp.py:_hinge_prox (same trip count, same
+    Pointwise mirror of solvers/ccp.py:_hinge_prox at trips=15 (same
     log-space safeguard, same CLOSED-interval acceptance); lam broadcasts
     from (C, 1, n) (eigencoordinate blocks) or (C, 1, 1) (diagonal
     negative blocks).  weight/rho are (L, 1) per-lane scalars.
@@ -98,7 +107,7 @@ def _hinge_prox_tile(vh, lam, qt, rb, weight, rho):
     C, Lr, _ = vh.shape
     zero = jnp.zeros((C, Lr, 1), f32)
     wgt = jnp.broadcast_to(weight, (C, Lr, 1))
-    _, _, nu_f = jax.lax.fori_loop(0, _N_NEWTON, body,
+    _, _, nu_f = jax.lax.fori_loop(0, trips, body,
                                    (zero, wgt, 0.5 * wgt))
     x_root = x_of(nu_f)
     return jnp.where(g_v <= 0, vh, jnp.where(g_full >= 0, x_full, x_root))
@@ -114,7 +123,7 @@ def _ccp_kernel(V_ref, lam0_ref, lam1_ref, qhat_ref, qnat_ref, shift_ref,
                 *, m: int, E: int, n: int, tau0: float, mu: float,
                 tau_max: float, max_iter: int, inner_iters: int, rho0: float,
                 stall_tol: float, inner_tol: float, viol_exit_tol: float,
-                warm_inner: bool):
+                warm_inner: bool, n_newton: int):
     """One whole CCP improve per (L_TILE, n) restart tile.
 
     Block bank layout (xs/us refs, B = 1 + m + E rows):
@@ -238,7 +247,7 @@ def _ccp_kernel(V_ref, lam0_ref, lam1_ref, qhat_ref, qnat_ref, shift_ref,
                     xkh_ref[pl.ds(c0, C)]
                 rb = r_ref[pl.ds(c0, C)] + sh * nxk2
                 xh = _hinge_prox_tile(vh, lam1_ref[pl.ds(c0, C)], qt, rb,
-                                      tau, rho_k)
+                                      tau, rho_k, trips=n_newton)
                 rows = [rot_back(xh[j], c0 + j)[None] for j in range(C)]
                 xb = jnp.concatenate(rows, axis=0)
                 xs_ref[pl.ds(c0, C)] = xb
@@ -262,7 +271,8 @@ def _ccp_kernel(V_ref, lam0_ref, lam1_ref, qhat_ref, qnat_ref, shift_ref,
                 v = z[None] - u
                 s_j = shift_ref[pl.ds(1 + j0, C)]    # (C, 1, 1)
                 xb = _hinge_prox_tile(v, s_j, qm_ref[pl.ds(j0, C)],
-                                      rm_ref[pl.ds(j0, C)], tau, rho_k)
+                                      rm_ref[pl.ds(j0, C)], tau, rho_k,
+                                      trips=n_newton)
                 xs_ref[pl.ds(bi, C)] = xb
                 return S + jnp.sum(xb + u, axis=0)
 
@@ -444,10 +454,11 @@ def ccp_fused_fits(n: int, m: int, E: int) -> bool:
 
 @functools.partial(jax.jit, static_argnames=(
     "m", "E", "tau0", "mu", "tau_max", "max_iter", "inner_iters", "rho0",
-    "stall_tol", "inner_tol", "viol_exit_tol", "warm_inner", "interpret"))
+    "stall_tol", "inner_tol", "viol_exit_tol", "warm_inner", "n_newton",
+    "interpret"))
 def _ccp_improve(tensors, form32, xs_p, *, m, E, tau0, mu, tau_max,
                  max_iter, inner_iters, rho0, stall_tol, inner_tol,
-                 viol_exit_tol, warm_inner, interpret):
+                 viol_exit_tol, warm_inner, n_newton, interpret):
     from ..core import better
     R, n = xs_p.shape
     grid = R // L_TILE
@@ -469,7 +480,8 @@ def _ccp_improve(tensors, form32, xs_p, *, m, E, tau0, mu, tau_max,
         _ccp_kernel, m=m, E=E, n=n, tau0=tau0, mu=mu, tau_max=tau_max,
         max_iter=max_iter, inner_iters=inner_iters, rho0=rho0,
         stall_tol=stall_tol, inner_tol=inner_tol,
-        viol_exit_tol=viol_exit_tol, warm_inner=warm_inner)
+        viol_exit_tol=viol_exit_tol, warm_inner=warm_inner,
+        n_newton=n_newton)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -488,22 +500,23 @@ def _ccp_improve(tensors, form32, xs_p, *, m, E, tau0, mu, tau_max,
 def improve_ccp_fused(form, xs, tau=0.005, mu=1.4, tau_max=1e8,
                       max_iter=60, inner_iters=None, rho=1.0,
                       stall_tol=1e-6, inner_tol=1e-5, viol_exit_tol=1e-4,
-                      warm_inner=True, data: CCPFusedData = None,
-                      interpret=False):
+                      warm_inner=True, n_newton=4,
+                      data: CCPFusedData = None, interpret=False):
     """Batched whole-improve penalty CCP via the Pallas mega-kernel
     (replaces reference DCCP, qcqp/qcqp.py:288-322; pointwise mirror of
-    solvers/ccp.py:improve_ccp at f32 when called with warm_inner=False
-    and matching knobs).
+    solvers/ccp.py:improve_ccp at f32 when called with warm_inner=False,
+    n_newton=15 and matching knobs).
 
     Default deviations from the vmapped path, justified by measurement on
-    v5e (BASELINE.md round 4): inner_iters defaults to 10 (not 200),
-    inner_tol to 1e-5, and the consensus duals warm-start across outer
-    iterations (warm_inner=True) instead of resetting.  At the bench
-    shape the inner residual exit essentially never fires under tile
-    lockstep (time scales linearly with the cap), and warm duals + short
-    inexact inner solves give the BEST violation quality of every config
-    measured (median 1.65 vs the 200-trip reset schedule's 2.16) at 18.7x
-    the vmapped throughput (501 vs 26.8 restarts/s).
+    v5e (BASELINE.md rounds 4-5): inner_iters defaults to 10 (not 200),
+    inner_tol to 1e-5, the consensus duals warm-start across outer
+    iterations (warm_inner=True) instead of resetting, and the hinge prox
+    runs 4 Newton trips (not 15 — see the _N_NEWTON note: the softer
+    inexact prox is 2.4x faster AND ~7x better on median violation).  At
+    the bench shape the inner residual exit essentially never fires under
+    tile lockstep (time scales linearly with the cap); measured round 5:
+    1210 restarts/s at median violation 0.23 (vs round 4's 502 / 1.65 and
+    the vmapped path's 26.8 / 17.3).
 
     xs (R, n); R padded internally to a multiple of L_TILE.  Shapes whose
     working set exceeds VMEM route to the vmapped XLA improve."""
@@ -526,5 +539,6 @@ def improve_ccp_fused(form, xs, tau=0.005, mu=1.4, tau_max=1e8,
         max_iter=int(max_iter), inner_iters=int(inner_iters),
         rho0=float(rho), stall_tol=float(stall_tol),
         inner_tol=float(inner_tol), viol_exit_tol=float(viol_exit_tol),
-        warm_inner=bool(warm_inner), interpret=bool(interpret))
+        warm_inner=bool(warm_inner), n_newton=int(n_newton),
+        interpret=bool(interpret))
     return out[:R]

@@ -33,7 +33,10 @@ def test_lockstep_parity_vs_vmapped(n, m, eqf, seed):
     xs = jnp.asarray(rng.standard_normal((L_TILE, n)), jnp.float32)
     kw = dict(max_iter=3, inner_iters=20)
     ref = jax.vmap(lambda x: improve_ccp(form, x, **kw))(xs)
-    out = improve_ccp_fused(form, xs, warm_inner=False, interpret=True, **kw)
+    # n_newton=15 matches the vmapped _hinge_prox trip count (the fused
+    # default is the measured-better 4-trip inexact prox, round 5)
+    out = improve_ccp_fused(form, xs, warm_inner=False, interpret=True,
+                            n_newton=15, **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0, atol=5e-4)
 
