@@ -62,7 +62,16 @@ _HP = (jax.lax.Precision.HIGHEST
        else jax.lax.Precision.DEFAULT)
 _NU_TOL = 1e-6        # secular bisection tol (reference: utilities.py:149,187)
 _DBL_FIXED = int(os.environ.get("ADMM_DBL_FIXED", 10))
-_NW_FIXED = int(os.environ.get("ADMM_NW_FIXED", 12))
+# Secular-solve Newton trips.  Round 5: 6 (was 12) — the ablation that
+# re-tuned the CCP hinge prox applies here too: at the bench shape the
+# 6-trip inexact projection is both 1.5x faster AND better on violation
+# quality (8688-9216 r/s / med 0.54 vs 5895-5999 / med 0.92, replicated
+# on two restart batches) — exact per-constraint projections make the
+# finite-budget consensus overshoot, the slightly-inexact ones damp it.
+# 4 trips is faster still (11219 r/s) but quality turns (med 0.73).
+# Typical small-instance convergence is ~5 trips, so lockstep parity
+# with the unfused path is unaffected.
+_NW_FIXED = int(os.environ.get("ADMM_NW_FIXED", 6))
 _SKIP_PROJ = os.environ.get("ADMM_SKIP_PROJ", "0") == "1"  # perf diagnostics
 # Constraint-chunk size: projection temporaries are (chunk, L, n); the
 # wrapper pads m to a multiple of this with inert rows.
@@ -83,7 +92,8 @@ def _consensus_sum(Q_ref, xh_ref, uh_ref, m_pad, shape):
 
 
 def _make_chunk_step(Q_ref, lam_ref, qhat_ref, r_ref, eqm_ref, lmax_ref,
-                     lmin_ref, xh_ref, uh_ref, n_chunks, need_dbl):
+                     lmin_ref, xh_ref, uh_ref, n_chunks, need_dbl,
+                     nw=_NW_FIXED):
     """Project every constraint chunk at z and accumulate the max violation
     of z.  fori_loop over chunks with dynamic ref slices: the (chunk, L, n)
     temporaries are allocated once, not per chunk.
@@ -216,7 +226,7 @@ def _make_chunk_step(Q_ref, lam_ref, qhat_ref, r_ref, eqm_ref, lmax_ref,
             return s, e, nu
 
         _, _, nu_f = jax.lax.fori_loop(
-            0, _NW_FIXED, nw_body, (s0, e0, 0.5 * (s0 + e0)))
+            0, nw, nw_body, (s0, e0, 0.5 * (s0 + e0)))
         xh_c = jnp.where(skip, vh, xhat_of(nu_f))
 
         live3 = live_s[None] > 0.5                       # (1, L, 1)
@@ -264,13 +274,13 @@ def _viol_init(lam_ref, qhat_ref, r_ref, eqm_ref, xh_ref, m_pad, L):
 def _admm_phase1_kernel(Q_ref, lam_ref, qhat_ref, r_ref, eqm_ref, lmax_ref,
                         lmin_ref, x0_ref, out_ref, xh_ref, uh_ref, viol_ref,
                         *, m: int, m_pad: int, n: int, num_iters: int,
-                        tol: float, need_dbl: bool):
+                        tol: float, need_dbl: bool, nw: int = _NW_FIXED):
     """Feasibility consensus (reference: qcqp/qcqp.py:195-212) on an (L, n)
     restart tile; per-lane freeze, predicated tile idle after convergence."""
     f32 = jnp.float32
     project_all = _make_chunk_step(Q_ref, lam_ref, qhat_ref, r_ref, eqm_ref,
                                    lmax_ref, lmin_ref, xh_ref, uh_ref,
-                                   m_pad // _CHUNK, need_dbl)
+                                   m_pad // _CHUNK, need_dbl, nw)
     x0 = x0_ref[:]                                       # (L, n)
     L = x0.shape[0]
     _init_rotated(Q_ref, xh_ref, uh_ref, x0, m_pad)
@@ -303,7 +313,7 @@ def _admm_phase2_kernel(Q_ref, lam_ref, qhat_ref, r_ref, eqm_ref, lmax_ref,
                         out_ref, xh_ref, uh_ref, z_ref, zlast_ref, key_ref,
                         *, m: int, m_pad: int, n: int, num_iters: int,
                         tol: float, viol_lim: float, better_tol: float,
-                        r0: float, need_dbl: bool):
+                        r0: float, need_dbl: bool, nw: int = _NW_FIXED):
     """Objective consensus with best-point tracking (reference:
     qcqp/qcqp.py:215-251); z-update via the precomputed (symmetric) inverse
     W of 2 (P0 + rho m I) — one (L, n) x (n, n) matmul per iteration (the
@@ -313,7 +323,7 @@ def _admm_phase2_kernel(Q_ref, lam_ref, qhat_ref, r_ref, eqm_ref, lmax_ref,
     f32 = jnp.float32
     project_all = _make_chunk_step(Q_ref, lam_ref, qhat_ref, r_ref, eqm_ref,
                                    lmax_ref, lmin_ref, xh_ref, uh_ref,
-                                   m_pad // _CHUNK, need_dbl)
+                                   m_pad // _CHUNK, need_dbl, nw)
     rho = rho_ref[0, 0]
     q0 = q0_ref[:]                                       # (1, n)
 
@@ -408,21 +418,21 @@ def _call_phase(kernel, args_bc, xs, n, m_pad, interpret, phase2=False):
 
 @functools.partial(jax.jit, static_argnames=(
     "m", "num_iters", "tol", "viol_lim", "better_tol", "r0", "phase",
-    "need_dbl", "interpret"))
+    "need_dbl", "nw", "interpret"))
 def _admm_phase(Q, lam3, qhat3, r3, eqm3, lmax3, lmin3, W, P0, q0, rho_arr,
                 xs, *, m, num_iters, tol, viol_lim, better_tol, r0, phase,
-                need_dbl, interpret):
+                need_dbl, nw, interpret):
     m_pad, _, n = lam3.shape
     base = (Q, lam3, qhat3, r3, eqm3, lmax3, lmin3)
     if phase == 1:
         k = functools.partial(_admm_phase1_kernel, m=m, m_pad=m_pad, n=n,
                               num_iters=num_iters, tol=tol,
-                              need_dbl=need_dbl)
+                              need_dbl=need_dbl, nw=nw)
         return _call_phase(k, base, xs, n, m_pad, interpret)
     k = functools.partial(_admm_phase2_kernel, m=m, m_pad=m_pad, n=n,
                           num_iters=num_iters, tol=tol,
                           viol_lim=viol_lim, better_tol=better_tol, r0=r0,
-                          need_dbl=need_dbl)
+                          need_dbl=need_dbl, nw=nw)
     args = base + (W, P0, q0, rho_arr)
     return _call_phase(k, args, xs, n, m_pad, interpret, phase2=True)
 
@@ -498,15 +508,15 @@ class ADMMFusedData:
 
 @functools.partial(jax.jit, static_argnames=(
     "m", "num_iters", "tol", "viol_lim", "better_tol", "r0", "phase1",
-    "need_dbl", "interpret"))
+    "need_dbl", "nw", "interpret"))
 def _admm_improve(tensors, form32, xs_p, *, m, num_iters, tol, viol_lim,
-                  better_tol, r0, phase1, need_dbl, interpret):
+                  better_tol, r0, phase1, need_dbl, nw, interpret):
     """Whole improve (both phase kernels + the reference's better-folds,
     qcqp.py:281,284-285) as ONE jitted program: a tunneled TPU pays
     ~O(100ms-1s) per dispatch, so the phases must not be separate calls."""
     from ..core import better  # local: avoid a cycle at import
     kw = dict(m=m, num_iters=num_iters, tol=tol, viol_lim=viol_lim,
-              better_tol=better_tol, r0=r0, need_dbl=need_dbl,
+              better_tol=better_tol, r0=r0, need_dbl=need_dbl, nw=nw,
               interpret=interpret)
     fold = jax.vmap(lambda a, b: better(form32, a, b, better_tol))
     x1 = xs_p
@@ -552,6 +562,7 @@ def admm_fused_fits(n: int, m: int) -> bool:
 
 def improve_admm_fused(form, xs, rho=None, num_iters=1000, viol_lim=1e4,
                        tol=1e-2, phase1=True, better_tol=1e-4,
+                       nw_trips=_NW_FIXED,
                        interpret=False, data: ADMMFusedData = None):
     """Batched two-phase ADMM improve via the whole-phase Pallas kernels
     (reference: qcqp/qcqp.py:254-285), with the reference's better-folds
@@ -587,7 +598,8 @@ def improve_admm_fused(form, xs, rho=None, num_iters=1000, viol_lim=1e4,
             data.tensors, data.form32, xs_p, m=int(data.m),
             num_iters=int(num_iters), tol=float(tol), viol_lim=float(viol_lim),
             better_tol=float(better_tol), r0=data.r0, phase1=bool(phase1),
-            need_dbl=data.need_dbl, interpret=bool(interpret))
+            need_dbl=data.need_dbl, nw=int(nw_trips),
+            interpret=bool(interpret))
     except Exception as e:  # Mosaic VMEM allocation at compile time
         if "vmem" not in str(e).lower() and "memory" not in str(e).lower():
             raise

@@ -86,8 +86,11 @@ def test_fused_admm_lockstep_parity(n, m, iters):
     form = _convex_ineq_form(n, m, seed=n + m)
     rng = np.random.default_rng(1)
     xs = jnp.asarray(rng.standard_normal((4, n)), jnp.float32)
+    # nw_trips=12 converges the secular root to f32 exactness, matching
+    # the unfused path (the fused default is the measured-better 6-trip
+    # inexact projection, round 5)
     xf = np.asarray(improve_admm_fused(form, xs, num_iters=iters,
-                                       interpret=True))
+                                       nw_trips=12, interpret=True))
     xu = np.asarray(improve_admm_batch(form, xs, num_iters=iters))
     scale = np.abs(xu).max() + 1.0
     # single-step: ~f32 roundoff; multi-step: roundoff compounds per
