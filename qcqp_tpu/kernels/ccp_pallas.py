@@ -54,14 +54,16 @@ from jax.experimental.pallas import tpu as pltpu
 L_TILE = 64
 _HP = jax.lax.Precision.HIGHEST
 # Newton trips of the hinge prox.  solvers/ccp.py converges the root to
-# f32 exactness in 15 trips; the fused DEFAULT is 4 (round 5): the
-# anatomy ablation found the 4-trip inexact prox is both 2.4x faster AND
-# ~7x better on median violation (1209 r/s / med 0.23 vs 504 / 1.65 at
-# the bench shape, replicated across restart batches) — a converged
-# hinge projection makes the short warm-dual consensus overshoot, while
-# the softer 4-trip prox conditions it.  2 trips collapses (med 4.9),
-# 6 is intermediate (984 r/s / 0.97) — 4 is the measured optimum on both
-# axes.  Parity tests pass n_newton=15 to match the vmapped path.
+# f32 exactness in 15 trips; the fused DEFAULT is 5 (round 5): the
+# anatomy ablation found the inexact prox is both faster AND better on
+# median violation (a converged hinge projection makes the short
+# warm-dual consensus overshoot, the softer prox conditions it), but the
+# trip count sits on a CLIFF for equality-dominated instances: at 4
+# trips the boolean-LS smoke instance (all rows x_i^2 = 1, opposing
+# hinge pairs that must balance precisely) lands 0/64 restarts feasible,
+# at 5 trips 64/64.  Measured at the bench shape: 5 trips = 1042 r/s /
+# med 0.56 (4: 1210 / 0.23 but equality-cliffed; 15: 504 / 1.65).
+# Parity tests pass n_newton=15 to match the vmapped path.
 _N_NEWTON = 15
 
 
@@ -500,7 +502,7 @@ def _ccp_improve(tensors, form32, xs_p, *, m, E, tau0, mu, tau_max,
 def improve_ccp_fused(form, xs, tau=0.005, mu=1.4, tau_max=1e8,
                       max_iter=60, inner_iters=None, rho=1.0,
                       stall_tol=1e-6, inner_tol=1e-5, viol_exit_tol=1e-4,
-                      warm_inner=True, n_newton=4,
+                      warm_inner=True, n_newton=5,
                       data: CCPFusedData = None, interpret=False):
     """Batched whole-improve penalty CCP via the Pallas mega-kernel
     (replaces reference DCCP, qcqp/qcqp.py:288-322; pointwise mirror of
@@ -511,12 +513,13 @@ def improve_ccp_fused(form, xs, tau=0.005, mu=1.4, tau_max=1e8,
     v5e (BASELINE.md rounds 4-5): inner_iters defaults to 10 (not 200),
     inner_tol to 1e-5, the consensus duals warm-start across outer
     iterations (warm_inner=True) instead of resetting, and the hinge prox
-    runs 4 Newton trips (not 15 — see the _N_NEWTON note: the softer
-    inexact prox is 2.4x faster AND ~7x better on median violation).  At
-    the bench shape the inner residual exit essentially never fires under
-    tile lockstep (time scales linearly with the cap); measured round 5:
-    1210 restarts/s at median violation 0.23 (vs round 4's 502 / 1.65 and
-    the vmapped path's 26.8 / 17.3).
+    runs 5 Newton trips (not 15 — see the _N_NEWTON note: the softer
+    inexact prox is faster AND better on median violation, and 5 is the
+    smallest trip count that clears the equality-instance feasibility
+    cliff).  At the bench shape the inner residual exit essentially never
+    fires under tile lockstep (time scales linearly with the cap);
+    measured round 5: 1042 restarts/s at median violation 0.56 (vs round
+    4's 502 / 1.65 and the vmapped path's 26.8 / 17.3).
 
     xs (R, n); R padded internally to a multiple of L_TILE.  Shapes whose
     working set exceeds VMEM route to the vmapped XLA improve."""

@@ -856,12 +856,17 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
         if farkas_precheck and form.m > 0 and \
                 sk.get("detect_certificates", True) and \
                 _affine_farkas_infeasible(form):
+            # numpy result carriers: eager jnp constructors here would each
+            # pay a first-call remote compile over the axon tunnel
+            # (measured: ~1.3 s for four tiny ops), defeating the
+            # classify-instantly purpose of the pre-check
+            import numpy as np
             Nn = form.n + 1
-            inf_ = jnp.asarray(jnp.inf, form.dtype)
+            npdt = np.dtype(form.dtype)
             return SDPSolution(
-                jnp.zeros((Nn, Nn), form.dtype), inf_, jnp.asarray(0),
-                inf_, inf_, None,
-                jnp.asarray(STATUS_INFEASIBLE, jnp.int32)), tol
+                np.zeros((Nn, Nn), npdt), np.asarray(np.inf, npdt), 0,
+                np.asarray(np.inf, npdt), np.asarray(np.inf, npdt), None,
+                STATUS_INFEASIBLE), tol
 
         dev_sk = dict(sk)
         dev_sk.setdefault("detect_certificates", False)
