@@ -94,15 +94,19 @@ def _al_newton_parts(form: QCQPForm, x, lmb, mu):
 
 @partial(jax.jit, static_argnames=("num_outer", "num_inner", "bb_outer_n",
                                    "bb_inner", "grad_tol", "feas_tol"))
-def improve_nlp(form: QCQPForm, x0, num_outer: int = 4, num_inner: int = 25,
+def improve_nlp(form: QCQPForm, x0, num_outer: int = 3, num_inner: int = 20,
                 mu0: float = 10.0, grad_tol: float = 1e-8,
-                feas_tol: float = 1e-8, bb_outer_n: int = 15,
-                bb_inner: int = 100):
+                feas_tol: float = 1e-8, bb_outer_n: int = 10,
+                bb_inner: int = 80):
     """Augmented-Lagrangian improve (the reference's IPOPT method slot).
 
     Two stages: bb_outer_n x bb_inner Barzilai-Borwein sweeps for cheap
     bulk descent, then a num_outer x num_inner damped Newton-CG tail for
     the second-order KKT quality (oracle-pinned in tests/test_nlp.py).
+    The default schedule was re-ablated round 5: 10x80 BB + 3x20 Newton
+    is +42% throughput (2868 vs 2022 restarts/s at the bench shape) at a
+    BETTER median violation (0.0080 vs 0.0103) than round 4's 15x100 +
+    4x25 — the KKT early exits mean the extra budget was mostly idle.
     The Newton loops exit early on the KKT residual (see module
     docstring); tolerances are floored at 100*eps(dtype) so the f32
     device path can actually reach them.
