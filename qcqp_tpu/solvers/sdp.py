@@ -730,6 +730,12 @@ def check_status(sol: SDPSolution, tol: float, inacc_tol: float = _INACC_TOL):
         f"(primal {rp:.2e}, dual {rd:.2e} after {int(sol.iterations)} iters)")
 
 
+# Device-path size cap: validated under the NS projection up to n=250
+# (3.1 s / 12000 iters, residuals pass the 1e-4 gate); an n=400 attempt
+# CRASHED the TPU worker process outright (round 5) — larger single
+# instances route to the host until that is understood.
+_DEVICE_N_CAP = 256
+
 # f32 splitting iterations bottom out near this residual; asking for less
 # just spins the loop to max_iters (the f64 default tol stays 1e-8).
 _F32_TOL_FLOOR = 3e-5
@@ -840,7 +846,7 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
     """
     sk = solver_kwargs or {}
     if (device == "auto" and form.dtype == jnp.float32
-            and jax.default_backend() != "cpu" and form.n + 1 <= 256):
+            and jax.default_backend() != "cpu" and form.n + 1 <= _DEVICE_N_CAP):
         # Certificates are OFF for the f32 device attempt: the build-time
         # Farkas check rides on an f32 eigh pseudo-inverse that the TPU
         # computes inaccurately (measured: a false 'infeasible' at
@@ -929,7 +935,7 @@ def _solve_single(data_fn, form: QCQPForm, max_iters, tol, device,
     psd = "eigh"
     if form.dtype == jnp.float32:
         tol = max(tol, _F32_TOL_FLOOR)
-        if jax.default_backend() != "cpu" and form.n + 1 <= 256:
+        if jax.default_backend() != "cpu" and form.n + 1 <= _DEVICE_N_CAP:
             psd = "ns"
     if psd == "ns":
         # Newton-Schulz projection (round 5): 2123 iters / 111 ms on the
