@@ -175,13 +175,13 @@ def _phase1_loop(x0, ctx, *, n: int, m: int, eq_idx: tuple, num_iters: int,
         return x, F, alive, jnp.maximum(changed, accept)
 
     def sweep_cond(c):
-        x, F, t, viol_last, changed, retried = c
+        x, F, t, viol_last, changed = c
         alive = ((viol_last >= viol_tol).astype(f32)
                  * changed)
         return (t < num_iters) & (jnp.max(alive) > 0.5)
 
     def sweep_body(c):
-        x, F, t, viol_last, changed, retried = c
+        x, F, t, viol_last, changed = c
         F = refresh_F(x)                             # drift control
         alive = (viol_last >= viol_tol).astype(f32) * changed
         x, F, _, changed_new = jax.lax.fori_loop(
@@ -194,12 +194,11 @@ def _phase1_loop(x0, ctx, *, n: int, m: int, eq_idx: tuple, num_iters: int,
         # feasibility differences it targeted proved to be trajectory-
         # reshuffle noise, see tests/test_cd_sweep_pallas.py margins.)
         changed = jnp.where(alive > 0.5, changed_new, changed)
-        return x, F, t + 1, viol, changed, retried
+        return x, F, t + 1, viol, changed
 
     init = (x0, jnp.zeros((m + 1, R), f32), jnp.int32(0),
-            jnp.full((R,), jnp.inf, f32), jnp.ones((R,), f32),
-            jnp.zeros((R,), f32))
-    x, _, _, _, _, _ = jax.lax.while_loop(sweep_cond, sweep_body, init)
+            jnp.full((R,), jnp.inf, f32), jnp.ones((R,), f32))
+    x, _, _, _, _ = jax.lax.while_loop(sweep_cond, sweep_body, init)
     return x
 
 

@@ -134,8 +134,10 @@ def jacobi_sweeps(A, V0=None, sweeps: int = 2):
 
 def vec_round_ctx(n: int):
     """Build the vectorized tournament-Jacobi round body for (K, n, n)
-    stacks, reusable inside ANY Pallas kernel (the whole-loop SDP kernel
-    inlines it for its cone projection).  Returns (round_body, eye3) where
+    stacks, reusable inside ANY Pallas kernel (a seam for future fused
+    kernels; today's only consumer is _jacobi_vec_kernel below — the SDP
+    device path moved to the Newton-Schulz projection instead, round 5).
+    Returns (round_body, eye3) where
     round_body(_, (A, V)) performs ONE round: J^T A J, V <- V J, then the
     tournament reseat on both — see _jacobi_vec_kernel's docstring for the
     scheme.  eye3 is the (1, n, n) identity (diag extraction mask)."""

@@ -431,14 +431,17 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         v = w[2 * N * N + k:]
         return Y, t, U, v
 
-    # The stall exit only fires once the best residual is already near the
-    # dtype's achievable floor (ADVICE r4: hard f64 instances can plateau
-    # above tol for >stall_iters before dropping — exiting there would
-    # silently change check_status behavior for solves that WOULD converge).
-    # 1e4*eps is 1.2e-3 for f32 — above every measured f32 floor (3e-5 ..
-    # 2.7e-4) so the f32 stall behavior is unchanged — and 2.2e-12 for f64,
-    # where the exit only triggers at genuine machine-precision floors.
-    stall_floor = 1e4 * float(jnp.finfo(dt).eps)
+    # For f64 the stall exit only fires once the best residual is near the
+    # achievable floor (1e4*eps = 2.2e-12; ADVICE r4: hard f64 instances
+    # can plateau above tol for >stall_iters before dropping — exiting
+    # there would silently change check_status behavior for solves that
+    # WOULD converge).  f32 keeps the unconditional round-4 stall exit:
+    # its plateaus are instance-dependent (3e-5 .. 1e-2+) and the device
+    # result is residual-gated with a host fallback anyway, so spinning an
+    # above-floor plateau to max_iters — TWICE, counting the ns_steps=20
+    # retry — buys nothing (review r5).
+    stall_floor = (1e4 * float(jnp.finfo(dt).eps)
+                   if dt == jnp.float64 else float(jnp.inf))
 
     def cond(c):
         # stall exit: once the best iterate hasn't improved for
@@ -473,13 +476,18 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
         rd = rho * jnp.sqrt(jnp.sum((Yn - Y) ** 2) + jnp.sum((tn - t) ** 2))
 
         if detect_certificates:
-            # Skip the first interval (lam_c/Y_c start at zeros, so the
-            # first "delta" is the raw iterate, not an inter-interval
-            # difference) and require the SAME classification on two
-            # consecutive intervals before exiting (ADVICE r4: a one-shot
-            # test on a noisy delta can misclassify a feasible problem).
-            do_chk = (c["it"] % cert_interval == cert_interval - 1) & \
-                (c["it"] >= 2 * cert_interval - 1) & (rp > 10.0 * tol)
+            # Snapshots are taken at EVERY interval boundary; the
+            # classification only runs from the second boundary on (the
+            # first delta against the zero-initialized snapshots is the
+            # raw iterate, not an inter-interval difference) and must
+            # repeat on two consecutive intervals before exiting (ADVICE
+            # r4: a one-shot test on a noisy delta can misclassify a
+            # feasible problem).  The snapshot/classify gates are split —
+            # a shared gate would leave the first executed check comparing
+            # against zeros, exactly the raw-iterate test being skipped.
+            at_bound = c["it"] % cert_interval == cert_interval - 1
+            do_chk = at_bound & (c["it"] >= 2 * cert_interval - 1) & \
+                (rp > 10.0 * tol)
             cand = jax.lax.cond(
                 do_chk,
                 _check_certs,
@@ -489,9 +497,9 @@ def solve_sdp(data: SDPData, max_iters: int = 20000, tol: float = 1e-8,
                 (cand == c["cert_cand"])
             status = jnp.where(confirmed, cand, status)
             c["cert_cand"] = jnp.where(do_chk, cand, c["cert_cand"])
-            c["lam_c"] = jnp.where(do_chk, lam, c["lam_c"])
-            c["Y_c"] = jnp.where(do_chk, Yn, c["Y_c"])
-            c["t_c"] = jnp.where(do_chk, tn, c["t_c"])
+            c["lam_c"] = jnp.where(at_bound, lam, c["lam_c"])
+            c["Y_c"] = jnp.where(at_bound, Yn, c["Y_c"])
+            c["t_c"] = jnp.where(at_bound, tn, c["t_c"])
 
         # Residual balancing every 50 iterations (K is rho-independent, so
         # changing rho costs nothing but a dual rescale).  OSQP-style smooth
@@ -677,7 +685,13 @@ def _unscaled_rel_viol(form: QCQPForm, X):
     Ruiz targets — a scaled-converged X can carry an unscaled violation
     inflated by up to max(D_i D_j)/scale).  OSQP-style: each row residual is
     normalized by its own data norm and the solution magnitude, so the gate
-    is scale-free."""
+    is scale-free.  (jitted core + one host pull: the ~10 eager dispatches
+    would each pay tunnel latency on every accepted device solve.)"""
+    return float(_unscaled_rel_viol_jit(form, X))
+
+
+@jax.jit
+def _unscaled_rel_viol_jit(form: QCQPForm, X):
     M = homogeneous_forms(form)              # (m+1, N, N)
     Xn = 1.0 + jnp.linalg.norm(X)
     vals = jnp.einsum("kij,ij->k", M[1:], X)
@@ -688,7 +702,7 @@ def _unscaled_rel_viol(form: QCQPForm, X):
         vmax = jnp.max(v / (rown * Xn))
     else:
         vmax = jnp.zeros((), form.dtype)
-    return float(jnp.maximum(vmax, jnp.abs(X[-1, -1] - 1.0) / Xn))
+    return jnp.maximum(vmax, jnp.abs(X[-1, -1] - 1.0) / Xn)
 
 
 class InfeasibleRelaxationError(RuntimeError):
@@ -768,7 +782,12 @@ def _relaxation_device(device):
 def _spectral_rel_viol(form: QCQPForm, X):
     """Unscaled relative violation of the AGGREGATED spectral constraints
     (the relaxation only enforces the two summed rows, not each original
-    one — see _spectral_data)."""
+    one — see _spectral_data).  Jitted core, like _unscaled_rel_viol."""
+    return float(_spectral_rel_viol_jit(form, X))
+
+
+@jax.jit
+def _spectral_rel_viol_jit(form: QCQPForm, X):
     M = homogeneous_forms(form)
     ineq_mask = (~form.is_eq).astype(form.dtype)
     eq_mask = form.is_eq.astype(form.dtype)
@@ -779,8 +798,8 @@ def _spectral_rel_viol(form: QCQPForm, X):
         (jnp.maximum(jnp.linalg.norm(W1), 1e-12) * Xn)
     v2 = jnp.abs(jnp.sum(W2 * X)) / \
         (jnp.maximum(jnp.linalg.norm(W2), 1e-12) * Xn)
-    return float(jnp.maximum(jnp.maximum(v1, v2),
-                             jnp.abs(X[-1, -1] - 1.0) / Xn))
+    return jnp.maximum(jnp.maximum(v1, v2),
+                       jnp.abs(X[-1, -1] - 1.0) / Xn)
 
 
 def _affine_farkas_infeasible(form: QCQPForm) -> bool:

@@ -34,7 +34,7 @@ def test_lockstep_parity_vs_vmapped(n, m, eqf, seed):
     kw = dict(max_iter=3, inner_iters=20)
     ref = jax.vmap(lambda x: improve_ccp(form, x, **kw))(xs)
     # n_newton=15 matches the vmapped _hinge_prox trip count (the fused
-    # default is the measured-better 4-trip inexact prox, round 5)
+    # default is the measured-better 5-trip inexact prox, round 5)
     out = improve_ccp_fused(form, xs, warm_inner=False, interpret=True,
                             n_newton=15, **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

@@ -98,7 +98,10 @@ def test_two_phase_matches_unfused_quality(n, m, eq_frac, seed):
     # -1.3 (scale-level swing).  Phase-1 outcomes on these barely-feasible
     # R=128 instances are chaotic in the probe trajectory, so anything
     # tighter gates on luck, not quality.
-    assert feas_new.mean() >= min(feas_ref.mean() * 0.2,
+    # max(): the ratio bound covers the low-feasibility chaotic regime,
+    # the absolute bound binds at high feasibility — min() would let a
+    # high-feasibility kernel lose 80% of its restarts unnoticed
+    assert feas_new.mean() >= max(feas_ref.mean() * 0.2,
                                   feas_ref.mean() - 0.08)
     assert np.median(v_new) <= np.median(v_ref) * 2.5 + 1e-2
     if feas_ref.any() and feas_new.any():
